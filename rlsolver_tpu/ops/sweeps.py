@@ -1,0 +1,132 @@
+"""Sequential (Gauss-Seidel) local-search sweeps as jittable scans.
+
+MCPG's sampler runs a *degree-ordered sequential* anti-majority sweep: for
+each node in descending-degree order, set x_i = 1 iff the (noisy) sum of its
+neighbors' current values is below half its weighted degree
+(`rlsolver/methods/MCPG.py:120-141`). The per-node state mixes two value
+domains by construction: unprocessed nodes carry 2x-0.5 in {-0.5, 1.5},
+processed ones carry {0, 1} — reproduced here exactly.
+
+This is the part of the reference that "resists naive vmap" (SURVEY.md
+section 3.2): the sweep is inherently sequential per env. Here it is a
+`lax.scan` over the node axis with padded-neighbor gathers, batched over all
+envs — O(B * max_deg) VPU work per node, all inside one jit.
+
+A color-parallel variant (`colored_sweep`) updates whole independent color
+classes at once — a different (typically equally good) heuristic fixpoint
+that replaces N sequential steps with num_colors matmul steps on the MXU.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rlsolver_tpu.core.graph import Graph
+
+
+class SweepData(NamedTuple):
+    """Static per-instance arrays for sweeps, in sweep order."""
+
+    order: jax.Array  # [N] int32 node ids, descending degree
+    nbrs: jax.Array  # [N, max_deg] int32 neighbor table in sweep order (sentinel N)
+    nbr_w: jax.Array  # [N, max_deg] f32 weights in sweep order
+    wdeg: jax.Array  # [N] f32 weighted degree in sweep order
+    color_masks: jax.Array  # [num_colors, N] bool — independent classes (node order)
+    num_nodes: int
+
+    @staticmethod
+    def build(graph: Graph) -> "SweepData":
+        order = graph.degree_sorted_nodes(descending=True)
+        nbrs, nbr_w, _ = graph.padded_neighbors()
+        wdeg = graph.weighted_degrees()
+        color, num_colors = graph.greedy_coloring()
+        masks = np.stack([color == c for c in range(num_colors)])
+        return SweepData(
+            order=jnp.asarray(order),
+            nbrs=jnp.asarray(nbrs[order]),
+            nbr_w=jnp.asarray(nbr_w[order]),
+            wdeg=jnp.asarray(wdeg[order]),
+            color_masks=jnp.asarray(masks),
+            num_nodes=graph.num_nodes,
+        )
+
+
+def mcpg_init_values(xs: jax.Array) -> jax.Array:
+    """{0,1} bits -> the sweep's mixed start domain 2x - 0.5 in {-0.5, 1.5},
+    with the sentinel slot appended (always 0)."""
+    xt = 2.0 * xs.astype(jnp.float32) - 0.5
+    pad = jnp.zeros((xt.shape[0], 1), jnp.float32)
+    return jnp.concatenate([xt, pad], axis=1)  # [B, N+1]
+
+
+def degree_ordered_sweep(
+    key: jax.Array,
+    xt: jax.Array,
+    data: SweepData,
+    num_sweeps: int = 1,
+    noise_scale: float = 0.25,
+) -> jax.Array:
+    """Run `num_sweeps` sequential anti-majority sweeps. xt: [B, N+1] mixed
+    domain (see `mcpg_init_values`); returns xt with all entries in {0, 1}.
+    """
+    num_nodes = data.num_nodes
+
+    def node_step(xt, inp):
+        node, nbr_row, w_row, wd, k = inp
+        vals = jnp.take(xt, nbr_row, axis=1)  # [B, max_deg]
+        nbr_sum = jnp.sum(vals * w_row[None, :], axis=1)  # [B]
+        u = jax.random.uniform(k, (xt.shape[0],))
+        new_bit = (nbr_sum + u * noise_scale) < (wd + noise_scale) / 2.0
+        xt = xt.at[:, node].set(new_bit.astype(jnp.float32))
+        return xt, None
+
+    def one_sweep(xt, k):
+        keys = jax.random.split(k, num_nodes)
+        xt, _ = jax.lax.scan(
+            node_step, xt, (data.order, data.nbrs, data.nbr_w, data.wdeg, keys)
+        )
+        return xt, None
+
+    xt, _ = jax.lax.scan(one_sweep, xt, jax.random.split(key, num_sweeps))
+    return xt
+
+
+def colored_sweep(
+    key: jax.Array,
+    xs: jax.Array,
+    adj: jax.Array,
+    wdeg: jax.Array,
+    color_masks: jax.Array,
+    num_sweeps: int = 1,
+    noise_scale: float = 0.25,
+) -> jax.Array:
+    """Color-parallel anti-majority sweep on {0,1} bits (MXU formulation).
+
+    Per color class, neighbor sums for the whole class come from one
+    [B,N]x[N,N] matmul; nodes within a class share no edge, so the joint
+    update equals a sequential within-class sweep. xs: f32 {0,1} [B, N].
+    """
+    num_colors = color_masks.shape[0]
+
+    def class_step(xs, inp):
+        mask, k = inp  # [N] bool
+        nbr_sum = jnp.matmul(
+            xs, adj, preferred_element_type=jnp.float32
+        )  # [B, N]
+        u = jax.random.uniform(k, xs.shape)
+        new_bits = ((nbr_sum + u * noise_scale) < (wdeg + noise_scale) / 2.0).astype(
+            jnp.float32
+        )
+        return jnp.where(mask[None, :], new_bits, xs), None
+
+    def one_sweep(xs, k):
+        keys = jax.random.split(k, num_colors)
+        xs, _ = jax.lax.scan(class_step, xs, (color_masks, keys))
+        return xs, None
+
+    xs, _ = jax.lax.scan(one_sweep, xs, jax.random.split(key, num_sweeps))
+    return xs
