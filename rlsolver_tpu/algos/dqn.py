@@ -1,0 +1,257 @@
+"""DQN for Pattern-I node-flip MDPs (S2V-DQN / ECO-DQN / PECO).
+
+Capability-parity rebuild of the reference DQN agent
+(`rlsolver/methods/ECO_S2V/src/agents/dqn.py:28-619`, vectorized variant
+`dqn_PECO.py`): double-DQN targets, epsilon-greedy exploration with
+allowed-action masking, a replay buffer, periodic target-network syncs, and
+periodic greedy evaluation. TPU-first differences:
+
+  * the replay buffer is a fixed-size ring of device arrays (a pytree), not
+    python tuples (`src/agents/util.py:33`); adds and samples are jitted;
+  * act / env.step / train_step are three jitted programs; the python loop
+    only orchestrates and logs;
+  * the vectorized env adds `num_envs` transitions per step (PECO's design),
+    so the reference's "sample on one device, train on the other"
+    split (`dqn_two_devices.py`) is unnecessary — one SPMD program does both.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Callable, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from rlsolver_tpu.core.graph import Graph
+from rlsolver_tpu.envs.spin_system import (
+    SpinSystemConfig,
+    SpinSystemEnv,
+    SpinSystemParams,
+    SpinSystemState,
+)
+from rlsolver_tpu.models.mpnn import MPNN
+
+
+class ReplayBuffer(NamedTuple):
+    """Fixed-capacity transition ring on device. capacity % add_size == 0."""
+
+    obs: jax.Array  # [cap, N, obs]
+    action: jax.Array  # [cap] int32
+    reward: jax.Array  # [cap] f32
+    next_obs: jax.Array  # [cap, N, obs]
+    done: jax.Array  # [cap] bool
+    ptr: jax.Array  # int32, next write slot
+    size: jax.Array  # int32, filled entries
+
+    @staticmethod
+    def create(capacity: int, num_nodes: int, num_obs: int) -> "ReplayBuffer":
+        return ReplayBuffer(
+            obs=jnp.zeros((capacity, num_nodes, num_obs), jnp.float32),
+            action=jnp.zeros((capacity,), jnp.int32),
+            reward=jnp.zeros((capacity,), jnp.float32),
+            next_obs=jnp.zeros((capacity, num_nodes, num_obs), jnp.float32),
+            done=jnp.zeros((capacity,), bool),
+            ptr=jnp.int32(0),
+            size=jnp.int32(0),
+        )
+
+    @property
+    def capacity(self) -> int:
+        return self.obs.shape[0]
+
+
+def buffer_add(buf: ReplayBuffer, obs, action, reward, next_obs, done) -> ReplayBuffer:
+    """Append a batch of transitions (batch size must divide capacity)."""
+    b = obs.shape[0]
+    cap = buf.obs.shape[0]
+    start = buf.ptr  # multiple of b by construction
+    return ReplayBuffer(
+        obs=jax.lax.dynamic_update_slice(buf.obs, obs, (start, 0, 0)),
+        action=jax.lax.dynamic_update_slice(buf.action, action.astype(jnp.int32), (start,)),
+        reward=jax.lax.dynamic_update_slice(buf.reward, reward, (start,)),
+        next_obs=jax.lax.dynamic_update_slice(buf.next_obs, next_obs, (start, 0, 0)),
+        done=jax.lax.dynamic_update_slice(buf.done, done, (start,)),
+        ptr=(buf.ptr + b) % cap,
+        size=jnp.minimum(buf.size + b, cap),
+    )
+
+
+def buffer_sample(buf: ReplayBuffer, key: jax.Array, batch_size: int):
+    idx = jax.random.randint(key, (batch_size,), 0, buf.size)
+    return (
+        buf.obs[idx],
+        buf.action[idx],
+        buf.reward[idx],
+        buf.next_obs[idx],
+        buf.done[idx],
+    )
+
+
+@dataclasses.dataclass
+class DQNConfig:
+    features: int = 64
+    n_layers: int = 3
+    lr: float = 1e-4
+    gamma: float = 0.95  # reference train_ECO.py:38
+    buffer_capacity: int = 2**13
+    batch_size: int = 64
+    update_frequency: int = 4  # env steps between SGD steps
+    target_update_frequency: int = 1000
+    eps_start: float = 1.0
+    eps_end: float = 0.05
+    eps_decay_steps: int = 10_000
+    learning_starts: int = 512  # transitions before training
+    seed: int = 0
+
+
+class DQNAgent:
+    """MPNN Q-network + double-DQN training over a SpinSystemEnv."""
+
+    def __init__(self, env: SpinSystemEnv, cfg: DQNConfig = DQNConfig()):
+        self.env = env
+        self.cfg = cfg
+        self.model = MPNN(features=cfg.features, n_layers=cfg.n_layers)
+        self.optimizer = optax.adam(cfg.lr)
+        n = env.num_nodes
+        num_obs = env.config.num_observables
+
+        def act(params, obs, adj, mask, key, eps):
+            """epsilon-greedy actions [B] with allowed-action masking."""
+            q = self.model.apply(params, obs, adj)  # [B, N]
+            q = jnp.where(mask, q, -jnp.inf)
+            greedy = jnp.argmax(q, axis=-1)
+            k1, k2 = jax.random.split(key)
+            # uniform over allowed actions
+            logits = jnp.where(mask, 0.0, -jnp.inf)
+            random_a = jax.random.categorical(k1, logits, axis=-1)
+            explore = jax.random.uniform(k2, greedy.shape) < eps
+            return jnp.where(explore, random_a, greedy)
+
+        def train_step(params, target_params, opt_state, batch, adj):
+            obs, action, reward, next_obs, done = batch
+
+            def loss_fn(p):
+                q = self.model.apply(p, obs, adj)
+                q_a = jnp.take_along_axis(q, action[:, None], axis=1)[:, 0]
+                # double DQN: online argmax, target evaluate
+                next_q_online = self.model.apply(p, next_obs, adj)
+                next_a = jnp.argmax(next_q_online, axis=-1)
+                next_q_target = self.model.apply(target_params, next_obs, adj)
+                next_v = jnp.take_along_axis(next_q_target, next_a[:, None], axis=1)[:, 0]
+                y = reward + cfg.gamma * (1.0 - done.astype(jnp.float32)) * next_v
+                return jnp.mean((q_a - jax.lax.stop_gradient(y)) ** 2)
+
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            updates, opt_state = self.optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, loss
+
+        self._act = jax.jit(act)
+        self._train_step = jax.jit(train_step)
+        self._env_step = jax.jit(env.step)
+        self._env_reset = jax.jit(env.reset)
+
+    def init_params(self, key: jax.Array, params_env: SpinSystemParams):
+        b = self.env.config.num_envs
+        dummy_obs = jnp.zeros(
+            (b, self.env.num_nodes, self.env.config.num_observables), jnp.float32
+        )
+        return self.model.init(key, dummy_obs, params_env.adj)
+
+    def epsilon(self, step: int) -> float:
+        cfg = self.cfg
+        frac = min(1.0, step / cfg.eps_decay_steps)
+        return cfg.eps_start + frac * (cfg.eps_end - cfg.eps_start)
+
+    # ------------------------------------------------------------- training
+    def train(
+        self,
+        graph_sampler: Callable[[int], Graph],
+        num_steps: int,
+        eval_every: int = 0,
+        eval_graphs: Optional[list] = None,
+        verbose: bool = False,
+    ):
+        """graph_sampler(i) -> Graph for episode i (distribution training).
+        Returns (params, history dict)."""
+        cfg = self.cfg
+        env = self.env
+        key = jax.random.PRNGKey(cfg.seed)
+        episode = 0
+        graph = graph_sampler(episode)
+        params_env = env.params_from_graph(graph)
+        key, k_init, k_reset = jax.random.split(key, 3)
+        params = self.init_params(k_init, params_env)
+        target_params = params
+        opt_state = self.optimizer.init(params)
+        buf = ReplayBuffer.create(
+            cfg.buffer_capacity, env.num_nodes, env.config.num_observables
+        )
+        add = jax.jit(buffer_add)
+        sample = jax.jit(lambda b, k: buffer_sample(b, k, cfg.batch_size))
+
+        state, obs = self._env_reset(params_env, k_reset)
+        history = {"loss": [], "best_cut": [], "eval": []}
+        train_steps = 0
+        for step in range(num_steps):
+            key, k_act, k_sample = jax.random.split(key, 3)
+            mask = env.allowed_action_mask(state)
+            actions = self._act(
+                params, obs, params_env.adj, mask, k_act, self.epsilon(step)
+            )
+            state, next_obs, rew, done = self._env_step(params_env, state, actions)
+            buf = add(buf, obs, actions, rew, next_obs, done)
+            obs = next_obs
+
+            if int(buf.size) >= cfg.learning_starts and step % cfg.update_frequency == 0:
+                batch = sample(buf, k_sample)
+                params, opt_state, loss = self._train_step(
+                    params, target_params, opt_state, batch, params_env.adj
+                )
+                train_steps += 1
+                if train_steps % max(1, cfg.target_update_frequency // cfg.update_frequency) == 0:
+                    target_params = params
+                history["loss"].append(float(loss))
+
+            if bool(done[0]):
+                history["best_cut"].append(float(jnp.max(state.best_score)))
+                episode += 1
+                graph = graph_sampler(episode)
+                params_env = env.params_from_graph(graph)
+                key, k_reset = jax.random.split(key)
+                state, obs = self._env_reset(params_env, k_reset)
+                if verbose:
+                    print(
+                        f"episode {episode:4d} step {step:6d} "
+                        f"best_cut {history['best_cut'][-1]:9.1f} "
+                        f"eps {self.epsilon(step):.3f}"
+                    )
+
+            if eval_every and eval_graphs and (step + 1) % eval_every == 0:
+                score = np.mean([self.evaluate(params, g) for g in eval_graphs])
+                history["eval"].append((step + 1, float(score)))
+                if verbose:
+                    print(f"eval @ {step + 1}: avg best cut {score:.2f}")
+
+        return params, history
+
+    # ------------------------------------------------------------- inference
+    def evaluate(self, params, graph: Graph, key: Optional[jax.Array] = None) -> float:
+        """Greedy rollout on one graph over the vectorized envs; returns the
+        best cut found (reference `__test_network_batched`,
+        `ECO_S2V/util.py:90-353`)."""
+        env = self.env
+        params_env = env.params_from_graph(graph)
+        key = key if key is not None else jax.random.PRNGKey(0)
+        state, obs = self._env_reset(params_env, key)
+        for _ in range(env.max_steps):
+            mask = env.allowed_action_mask(state)
+            actions = self._act(
+                params, obs, params_env.adj, mask, jax.random.PRNGKey(0), 0.0
+            )
+            state, obs, _, done = self._env_step(params_env, state, actions)
+        return float(jnp.max(state.best_score))

@@ -1,0 +1,166 @@
+"""Pattern-I spin-system env semantics + DQN training smoke tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rlsolver_tpu.algos.dqn import DQNAgent, DQNConfig, ReplayBuffer, buffer_add, buffer_sample
+from rlsolver_tpu.config import GraphType
+from rlsolver_tpu.core.generate import generate_graph
+from rlsolver_tpu.envs.spin_system import (
+    NUM_OBSERVABLES_S2V,
+    RewardSignal,
+    SpinBasis,
+    SpinSystemConfig,
+    SpinSystemEnv,
+)
+from rlsolver_tpu.problems.objectives import obj_maxcut
+
+
+@pytest.fixture(scope="module")
+def setup(small_graphs):
+    g = small_graphs["BA_32"]
+    cfg = SpinSystemConfig(num_envs=8, basin_reward=1.0 / 32, stag_punishment=0.01)
+    env = SpinSystemEnv(g.num_nodes, cfg)
+    params = env.params_from_graph(g)
+    return g, env, params
+
+
+def test_reset_shapes_and_score(setup):
+    g, env, params = setup
+    state, obs = env.reset(params, jax.random.PRNGKey(0))
+    assert obs.shape == (8, 32, 7)
+    # score equals host cut
+    for b in range(4):
+        bits = np.asarray(state.spins[b] > 0).astype(int)
+        assert float(state.score[b]) == obj_maxcut(bits, g)
+    # gains match a full recompute
+    np.testing.assert_allclose(
+        np.asarray(state.gains), np.asarray(env._gains_full(params, state.spins))
+    )
+
+
+def test_step_score_and_gain_integrity(setup):
+    g, env, params = setup
+    state, obs = env.reset(params, jax.random.PRNGKey(1))
+    key = jax.random.PRNGKey(2)
+    step = jax.jit(env.step)
+    for t in range(5):
+        key, k = jax.random.split(key)
+        actions = jax.random.randint(k, (8,), 0, 32)
+        state, obs, rew, done = step(params, state, actions)
+    # incremental score/gains equal full recomputation
+    np.testing.assert_allclose(
+        np.asarray(state.score), np.asarray(env._cut(params, state.spins)), atol=1e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(state.gains),
+        np.asarray(env._gains_full(params, state.spins)),
+        atol=1e-3,
+    )
+
+
+def test_bls_reward_semantics(setup):
+    g, env, params = setup
+    state, obs = env.reset(params, jax.random.PRNGKey(3))
+    # pick the best-gain action per env: improvement == gain > 0 => reward
+    actions = jnp.argmax(state.gains, axis=1)
+    gains = np.asarray(state.gains[jnp.arange(8), actions])
+    state2, _, rew, _ = env.step(params, state, actions)
+    expect = np.maximum(gains, 0) / 32  # norm_rewards
+    got = np.asarray(rew)
+    # basin/stag adjustments can only add -0.01 or +1/32
+    assert np.all(np.abs(got - expect) <= 1.0 / 32 + 0.011)
+    # flipping the same node back immediately revisits a seen state
+    state3, _, rew3, _ = env.step(params, state2, actions)
+    assert (np.asarray(rew3) <= 0).all(), "revisit must never be rewarded (BLS+stag)"
+
+
+def test_done_at_max_steps(small_graphs):
+    g = small_graphs["ER_24"]
+    cfg = SpinSystemConfig(num_envs=4, max_steps=6)
+    env = SpinSystemEnv(g.num_nodes, cfg)
+    params = env.params_from_graph(g)
+    state, obs = env.reset(params, jax.random.PRNGKey(0))
+    for t in range(6):
+        state, obs, rew, done = env.step(
+            params, state, jnp.zeros((4,), jnp.int32) + t % g.num_nodes
+        )
+        assert bool(done[0]) == (t == 5)
+
+
+def test_irreversible_s2v_mode(small_graphs):
+    g = small_graphs["ER_24"]
+    cfg = SpinSystemConfig(
+        num_envs=4,
+        reversible_spins=False,
+        num_observables=NUM_OBSERVABLES_S2V,
+        reward_signal=RewardSignal.DENSE,
+        norm_rewards=False,
+    )
+    env = SpinSystemEnv(g.num_nodes, cfg)
+    params = env.params_from_graph(g)
+    state, obs = env.reset(params, jax.random.PRNGKey(0))
+    assert obs.shape == (4, g.num_nodes, 1)
+    assert (np.asarray(state.spins) == 1).all()
+    mask0 = env.allowed_action_mask(state)
+    assert np.asarray(mask0).all()
+    actions = jnp.array([3, 3, 5, 7])
+    score_before = np.asarray(state.score)
+    state, obs, rew, done = env.step(params, state, actions)
+    mask = np.asarray(env.allowed_action_mask(state))
+    assert not mask[0, 3] and not mask[2, 5]
+    # DENSE reward equals the score delta of the flip
+    np.testing.assert_allclose(
+        np.asarray(rew), np.asarray(state.score) - score_before, atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(state.score), np.asarray(env._cut(params, state.spins)), atol=1e-3
+    )
+
+
+def test_replay_buffer_ring():
+    buf = ReplayBuffer.create(16, 5, 2)
+    obs = jnp.ones((4, 5, 2))
+    for i in range(5):  # 20 adds > capacity 16 -> wraps
+        buf = buffer_add(
+            buf,
+            obs * i,
+            jnp.full((4,), i, jnp.int32),
+            jnp.full((4,), float(i)),
+            obs * (i + 1),
+            jnp.zeros((4,), bool),
+        )
+    assert int(buf.size) == 16
+    assert int(buf.ptr) == 4
+    # slot 0..3 now holds the wrapped 5th add (i=4)
+    assert float(buf.reward[0]) == 4.0
+    o, a, r, no, d = buffer_sample(buf, jax.random.PRNGKey(0), 8)
+    assert o.shape == (8, 5, 2) and a.shape == (8,)
+
+
+def test_dqn_smoke_train(small_graphs):
+    g = small_graphs["BA_32"]
+    env = SpinSystemEnv(
+        g.num_nodes, SpinSystemConfig(num_envs=8, max_steps=16, basin_reward=1 / 32)
+    )
+    agent = DQNAgent(
+        env,
+        DQNConfig(
+            features=16,
+            n_layers=1,
+            buffer_capacity=256,
+            batch_size=16,
+            learning_starts=32,
+            update_frequency=2,
+            eps_decay_steps=64,
+        ),
+    )
+    graphs = [g, generate_graph(GraphType.BA, 32, seed=9)]
+    params, history = agent.train(lambda i: graphs[i % 2], num_steps=48)
+    assert len(history["loss"]) > 0
+    assert all(np.isfinite(l) for l in history["loss"])
+    score = agent.evaluate(params, g)
+    # greedy rollout must at least reach a decent cut (random ~ m/2 = 62)
+    assert score >= obj_maxcut(np.zeros(32, int), g) and score > 62
