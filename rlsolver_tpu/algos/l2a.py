@@ -1,0 +1,268 @@
+"""dREINFORCE / L2A: the reference's flagship Pattern-II method.
+
+Capability-parity rebuild of `rlsolver/methods/L2A/demo_instance.py:25-278`
+(instance-wise) and `demo_distribution.py` (distribution-wise):
+
+  stage 1: pretrain a graph-embedding transformer by adjacency
+           reconstruction (`graph_embedding_pretrain.py:105-191`) and freeze
+           its per-node `seq_graph` features;
+  stage 2: PPO-style improvement loop — per rollout step the policy maps the
+           incumbent solutions to per-node flip probabilities, the
+           `top_k` most uncertain bits are resampled into `num_repeats`
+           candidates (`sub_set_sampling`), each candidate is refined by the
+           parallel local search, the best-of-repeats elitist-updates the
+           incumbents, and (reward = incumbent improvement, logprob, state)
+           go to a replay buffer; updates use GAE(lambda=0.98, gamma=1) with
+           clipped-surrogate PPO + entropy bonus + SmoothL1 critic
+           (`demo_instance.py:131-252`).
+
+TPU-first: rollout step and PPO update are two jitted programs; the PPO
+minibatch loop is a `lax.scan`; the evaluator is the only host round-trip.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from rlsolver_tpu.core.graph import Graph
+from rlsolver_tpu.core.result import write_graph_result
+from rlsolver_tpu.envs.maxcut import MaxcutEnv
+from rlsolver_tpu.eval.evaluator import Evaluator
+from rlsolver_tpu.models.transformer import (
+    GraphEncoder,
+    PolicyTrsWithValue,
+    solution_to_prob_channels,
+)
+from rlsolver_tpu.ops.reductions import pick_xs_by_vs, update_xs_by_vs
+from rlsolver_tpu.ops.sampling import sub_set_sampling
+
+
+@dataclasses.dataclass
+class L2AConfig:
+    num_sims: int = 256
+    num_repeats: int = 8
+    top_k: int = 16  # uncertain bits resampled per step
+    num_searchers: int = 2  # local-search rounds per candidate batch
+    seq_len: int = 16  # rollout length per iteration
+    num_iters: int = 8
+    embed_dim: int = 64
+    num_heads: int = 4
+    pretrain_steps: int = 200
+    pretrain_lr: float = 1e-3
+    lr: float = 1e-4
+    gae_lambda: float = 0.98
+    ratio_clip: float = 0.25
+    lambda_entropy: float = 0.02
+    update_times: int = 16  # PPO minibatches per iteration
+    prob_noise: float = 0.02  # exploration noise on policy probs
+    ls_iters: int = 4
+    ls_num_spin: int = 8
+    seed: int = 0
+
+
+# ---------------------------------------------------------------- pretraining
+def pretrain_graph_encoder(
+    graph: Graph, cfg: L2AConfig, key: jax.Array
+) -> Tuple[GraphEncoder, dict, jax.Array]:
+    """Adjacency-reconstruction pretraining on noisy copies of the instance
+    adjacency (instance-wise; the distribution-wise variant feeds random
+    graphs). Returns (module, params, frozen seq_graph [N, D])."""
+    n = graph.num_nodes
+    enc = GraphEncoder(num_nodes=n, embed_dim=cfg.embed_dim, num_heads=cfg.num_heads)
+    adj = jnp.asarray(graph.adjacency_dense(), jnp.float32)
+    key, k_init = jax.random.split(key)
+    params = enc.init(k_init, adj[None])
+    opt = optax.adam(cfg.pretrain_lr)
+    opt_state = opt.init(params)
+
+    @jax.jit
+    def step(params, opt_state, key):
+        k_drop, k_flip = jax.random.split(key)
+        # corrupt: drop 10% of edges at random, reconstruct the original
+        keep = jax.random.bernoulli(k_drop, 0.9, adj.shape)
+        noisy = adj * keep * keep.T
+
+        def loss_fn(p):
+            recon, _ = enc.apply(p, noisy[None])
+            return optax.sigmoid_binary_cross_entropy(recon[0], (adj > 0).astype(jnp.float32)).mean()
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = opt.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    for i in range(cfg.pretrain_steps):
+        key, k = jax.random.split(key)
+        params, opt_state, loss = step(params, opt_state, k)
+    seq_graph = enc.embed(params, adj[None])[0]  # [N, D]
+    return enc, params, jax.lax.stop_gradient(seq_graph)
+
+
+# -------------------------------------------------------------------- trainer
+class RolloutBatch(NamedTuple):
+    states: jax.Array  # bool [T+1, B, N]
+    rewards: jax.Array  # f32 [T, B]
+    logprobs: jax.Array  # f32 [T, B]
+
+
+def solve_maxcut_l2a(
+    graph: Graph,
+    cfg: L2AConfig = L2AConfig(),
+    instance_file: Optional[str] = None,
+    save_dir: Optional[str] = None,
+    verbose: bool = False,
+):
+    """Instance-wise dREINFORCE. Returns (best_x, best_v, evaluator)."""
+    env = MaxcutEnv(graph)
+    n = graph.num_nodes
+    key = jax.random.PRNGKey(cfg.seed)
+    key, k_pre = jax.random.split(key)
+    _, _, seq_graph = pretrain_graph_encoder(graph, cfg, k_pre)
+
+    net = PolicyTrsWithValue(embed_dim=cfg.embed_dim, num_heads=cfg.num_heads)
+    key, k_init = jax.random.split(key)
+    params = net.init(
+        k_init, solution_to_prob_channels(jnp.zeros((cfg.num_sims, n), bool)), seq_graph
+    )
+    optimizer = optax.chain(optax.clip_by_global_norm(1.0), optax.adam(cfg.lr))
+    opt_state = optimizer.init(params)
+
+    def rollout_step(key, params, best_xs, best_vs):
+        """One policy-guided improvement step; returns transition pieces."""
+        k_noise, k_sample, k_ls = jax.random.split(key, 3)
+        logits, _ = net.apply(params, solution_to_prob_channels(best_xs), seq_graph)
+        probs = jax.nn.softmax(logits, axis=-1)[..., 0]
+        probs = jnp.clip(
+            probs + jax.random.normal(k_noise, probs.shape) * cfg.prob_noise, 0.0, 1.0
+        )
+        full_xs = sub_set_sampling(k_sample, probs, best_xs, cfg.num_repeats, cfg.top_k)
+        full_vs = env.obj(full_xs)
+        for i in range(cfg.num_searchers):
+            k_ls, k = jax.random.split(k_ls)
+            full_xs, full_vs = env.local_search(
+                k, full_xs, full_vs, num_iters=cfg.ls_iters, num_spin=cfg.ls_num_spin
+            )
+        good_xs, good_vs = pick_xs_by_vs(full_xs, full_vs, cfg.num_repeats)
+        new_xs, new_vs = update_xs_by_vs(best_xs, best_vs, good_xs, good_vs)
+        reward = new_vs - best_vs
+        logprob = jnp.sum(
+            jnp.log(jnp.clip(jnp.where(new_xs, probs, 1 - probs), 0.005, 0.995)), axis=1
+        )
+        return new_xs, new_vs, reward, logprob
+
+    rollout_jit = jax.jit(rollout_step)
+
+    def ppo_update(key, params, opt_state, batch: RolloutBatch):
+        states, rewards, logprobs = batch
+        seq_len = rewards.shape[0]
+
+        # values for GAE (no grad)
+        def value_of(xs):
+            _, v = net.apply(params, solution_to_prob_channels(xs), seq_graph)
+            return v
+
+        values = jax.vmap(value_of)(states[:-1])  # [T, B]
+        # GAE with gamma=1 (reference get_advantages, transformer.py:290-302)
+        def gae_body(carry, inp):
+            next_value, adv = carry
+            r, v = inp
+            delta = r + next_value - v
+            adv = delta + cfg.gae_lambda * adv
+            return (v, adv), adv
+
+        (_, _), advantages = jax.lax.scan(
+            gae_body,
+            (jnp.zeros_like(rewards[0]), jnp.zeros_like(rewards[0])),
+            (rewards, values),
+            reverse=True,
+        )
+        reward_sums = advantages + values
+        advantages = (advantages - advantages.mean()) / (advantages.std() + 1e-5)
+
+        def minibatch(carry, k):
+            params, opt_state = carry
+            ids = jax.random.randint(k, (cfg.num_sims,), 0, seq_len * cfg.num_sims)
+            t_ids = ids % seq_len
+            b_ids = ids // seq_len
+            curr_xs = states[t_ids, b_ids]
+            next_xs = states[t_ids + 1, b_ids]
+            old_logprob = logprobs[t_ids, b_ids]
+            advantage = advantages[t_ids, b_ids]
+            reward_sum = reward_sums[t_ids, b_ids]
+
+            def loss_fn(p):
+                logits, value = net.apply(
+                    p, solution_to_prob_channels(curr_xs), seq_graph
+                )
+                logp2 = jax.nn.log_softmax(logits, axis=-1)  # [b, N, 2]
+                new_logprob = jnp.sum(
+                    jnp.where(next_xs, logp2[..., 0], logp2[..., 1]), axis=-1
+                )
+                p2 = jax.nn.softmax(logits, axis=-1)
+                entropy = jnp.mean(
+                    jnp.sum(p2 * jnp.log2(jnp.clip(p2, 1e-9, 1.0)), axis=-1), axis=-1
+                )
+                obj_critic = optax.huber_loss(value, reward_sum).mean()
+                ratio = jnp.exp(jnp.clip(new_logprob - old_logprob, -12.0, 12.0))
+                surr1 = advantage * ratio
+                surr2 = advantage * jnp.clip(
+                    ratio, 1 - cfg.ratio_clip, 1 + cfg.ratio_clip
+                )
+                obj_surrogate = jnp.minimum(surr1, surr2).mean()
+                obj_policy = obj_surrogate + entropy.mean() * cfg.lambda_entropy
+                # maximize surrogate => minimize critic - policy
+                return obj_critic - obj_policy
+
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return (params, opt_state), loss
+
+        (params, opt_state), losses = jax.lax.scan(
+            minibatch, (params, opt_state), jax.random.split(key, cfg.update_times)
+        )
+        return params, opt_state, losses
+
+    ppo_jit = jax.jit(ppo_update)
+
+    key, k_xs = jax.random.split(key)
+    best_xs = env.random_xs(k_xs, cfg.num_sims)
+    best_vs = env.obj(best_xs)
+    evaluator = Evaluator(save_dir, n, np.asarray(best_xs[0]), float(best_vs[0]), True)
+    start = time.time()
+
+    for iter_i in range(cfg.num_iters):
+        states = [best_xs]
+        rewards, logprobs = [], []
+        for t in range(cfg.seq_len):
+            key, k = jax.random.split(key)
+            best_xs, best_vs, reward, logprob = rollout_jit(k, params, best_xs, best_vs)
+            states.append(best_xs)
+            rewards.append(reward)
+            logprobs.append(logprob)
+        batch = RolloutBatch(
+            states=jnp.stack(states), rewards=jnp.stack(rewards), logprobs=jnp.stack(logprobs)
+        )
+        key, k = jax.random.split(key)
+        params, opt_state, losses = ppo_jit(k, params, opt_state, batch)
+        evaluator.record(iter_i + 1, np.asarray(best_vs), np.asarray(best_xs))
+        if verbose:
+            print(evaluator.log_line(iter_i + 1, f"ppo_loss {float(losses.mean()):.4f}"))
+
+    evaluator.save()
+    if instance_file is not None:
+        write_graph_result(
+            evaluator.best_v,
+            time.time() - start,
+            n,
+            "dreinforce_l2a",
+            evaluator.best_x.astype(int),
+            instance_file,
+        )
+    return evaluator.best_x, evaluator.best_v, evaluator

@@ -121,3 +121,33 @@ def metropolis_bitflip_scan(
 
     samples, _ = jax.lax.scan(body, samples, jax.random.split(key, num_rounds))
     return samples
+
+
+def sub_set_sampling(
+    key: jax.Array,
+    probs: jax.Array,
+    start_xs: jax.Array,
+    num_repeats: int,
+    top_k: int,
+) -> jax.Array:
+    """Uncertainty-guided subset resampling (L2A's `sub_set_sampling`,
+    `rlsolver/methods/L2A/transformer.py:335-354`).
+
+    Tile `start_xs` [B, N] into `num_repeats` copies and resample only the
+    `top_k` most *uncertain* bits (smallest |p - 0.5|) of each sim from their
+    policy probabilities; high-certainty bits keep the incumbent's values.
+    (The reference samples the uncertain bits against the determinism value
+    itself — an apparent slip; this implements the evident intent of
+    sampling them from `probs`.) Returns bool [num_repeats * B, N] with
+    repeat r of sim b at row r * B + b.
+    """
+    num_sims, num_nodes = probs.shape
+    determinism = jnp.abs(probs - 0.5)
+    k = min(top_k, num_nodes)
+    _, uncertain_ids = jax.lax.top_k(-determinism, k)  # [B, k]
+    xs = jnp.tile(start_xs, (num_repeats, 1))  # [R*B, N]
+    ids = jnp.tile(uncertain_ids, (num_repeats, 1))  # [R*B, k]
+    p = jnp.tile(jnp.take_along_axis(probs, uncertain_ids, axis=1), (num_repeats, 1))
+    draws = jax.random.uniform(key, p.shape) < p  # [R*B, k]
+    rows = jnp.arange(xs.shape[0])[:, None]
+    return xs.at[rows, ids].set(draws)
