@@ -1,0 +1,66 @@
+"""Result-tree aggregation and comparison tables."""
+
+import os
+
+import numpy as np
+
+from rlsolver_tpu.eval.statistics import (
+    collect_results,
+    comparison_table,
+    parse_result_filename,
+    write_comparison_csv,
+)
+
+
+def _write(path, obj, alg, duration=10.0, bound=None):
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "w") as f:
+        f.write(f"// obj: {obj}\n")
+        f.write(f"// running_duration: {duration}\n")
+        f.write(f"// alg_name: {alg}\n")
+        if bound is not None:
+            f.write(f"// obj_bound: {bound}\n")
+        for i in range(4):
+            f.write(f"{i+1} 1\n")
+
+
+def test_parse_result_filename():
+    assert parse_result_filename("BA_100_ID0_3600.txt") == {
+        "instance": "BA_100_ID0",
+        "duration_tag": "3600",
+    }
+    # result files always carry the duration tail (write_graph_result);
+    # collision letters after the digits are part of the tail
+    assert parse_result_filename("gset_14_60.txt")["instance"] == "gset_14"
+    assert parse_result_filename("gset_14_60ab.txt")["instance"] == "gset_14"
+
+
+def test_collect_and_pivot(tmp_path):
+    root = str(tmp_path / "result")
+    _write(f"{root}/maxcut_greedy/BA_100_ID0_10.txt", 120, "greedy")
+    _write(f"{root}/maxcut_greedy/BA_200_ID0_10.txt", 260, "greedy")
+    _write(f"{root}/maxcut_mcpg/BA_100_ID0_10.txt", 131, "mcpg")
+    _write(f"{root}/maxcut_mcpg/BA_100_ID0_12.txt", 133, "mcpg")  # second run
+    _write(f"{root}/maxcut_mcpg/BA_200_ID0_10.txt", 271, "mcpg")
+    _write(f"{root}/maxcut_gurobi/BA_100_ID0_3600.txt", 132, "gurobi", bound=135)
+    _write(f"{root}/maxcut_gurobi/BA_200_ID0_3600.txt", 270, "gurobi", bound=280)
+
+    frame = collect_results(root)
+    assert len(frame) == 7
+    assert set(frame.method) == {"greedy", "mcpg", "gurobi"}
+    assert frame[frame.method == "gurobi"].obj_bound.notna().all()
+
+    table = comparison_table(frame, baseline_method="gurobi")
+    # best-of-runs: mcpg BA_100 should be 133
+    assert table.loc["BA_100_ID0", "mcpg"] == 133
+    # gap sign: mcpg beat gurobi on BA_100 -> negative gap (better)
+    assert table.loc["BA_100_ID0", "gap_vs_gurobi:mcpg"] < 0
+    assert table.loc["BA_200_ID0", "gap_vs_gurobi:greedy"] > 0
+
+    out = str(tmp_path / "cmp.csv")
+    t2 = write_comparison_csv(root, out, baseline_method="gurobi")
+    assert os.path.exists(out)
+    assert np.allclose(
+        t2[["greedy", "mcpg", "gurobi"]].values,
+        table[["greedy", "mcpg", "gurobi"]].values,
+    )
