@@ -1,0 +1,156 @@
+"""Fused Metropolis-Hastings bit-flip sampler as a Pallas TPU kernel.
+
+The MCPG hot loop (`metro_sampling`, reference `MCPG.py:88-118` /
+`MCPG/sampling.py:68-90`) runs hundreds of sequential single-flip proposal
+rounds per chain. The XLA `lax.scan` formulation
+(`rlsolver_tpu.ops.sampling.metropolis_bitflip_scan`) re-materializes the
+[B, N] chain state every round; this kernel keeps a block of chains
+resident in VMEM for ALL rounds — HBM traffic drops from
+O(rounds * B * N) to O(B * N + rounds * B), turning a bandwidth-bound scan
+into a VPU-bound loop.
+
+Randomness is injected: per-round node choices and uniforms are generated
+once with `jax.random` on the host side of the jit and streamed in. That
+keeps the kernel deterministic given (key), bit-exactly reproducible by the
+XLA twin `mh_reference` (tested), and runnable in interpreter mode on CPU
+(pltpu.prng_* has no CPU lowering).
+
+Per round, each chain flips its chosen node with probability
+min(1, (1-q)/q), q = probs[node] if the bit is set else 1 - probs[node] —
+exactly `metro_sampling`'s accept rule. The stationary distribution of the
+per-site chain is P(bit = 1) = probs (detailed balance, tested).
+
+Measured on TPU v5e-1 (2026-08): 68-82M proposals/s vs the XLA scan's
+70-104M at G22-class shapes — XLA's scan pipelining currently wins because
+each proposal is O(N) VPU work either way, so `metropolis_bitflip_scan`
+remains the production default; this kernel is the VMEM-resident pattern to
+build on when fusing MH with the downstream sweep/objective.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def make_round_randoms(
+    key: jax.Array, num_rounds: int, num_chains: int, num_nodes: int
+) -> Tuple[jax.Array, jax.Array]:
+    """(nodes [R, B] int32, uniforms [R, B] f32) for R proposal rounds."""
+    k1, k2 = jax.random.split(key)
+    nodes = jax.random.randint(k1, (num_rounds, num_chains), 0, num_nodes, jnp.int32)
+    u = jax.random.uniform(k2, (num_rounds, num_chains), jnp.float32)
+    return nodes, u
+
+
+def _mh_body(bits, probs, col, node, u):
+    """One proposal round. bits [B, N] f32; node [B] i32; u [B] f32."""
+    onehot = (col == node[:, None]).astype(jnp.float32)  # [B, N]
+    cur = jnp.sum(bits * onehot, axis=1)  # bit at chosen node, [B]
+    p = jnp.sum(probs * onehot, axis=1)  # probs[node]
+    q = cur * p + (1.0 - cur) * (1.0 - p)
+    accept = (u * q < (1.0 - q)).astype(jnp.float32)  # u < (1-q)/q, q > 0
+    return bits + onehot * accept[:, None] * (1.0 - 2.0 * bits)
+
+
+def _mh_kernel(probs_ref, nodes_ref, u_ref, bits_ref, out_ref, *, rounds_chunk):
+    # grid = (chain_blocks, round_chunks); the out block for a chain block
+    # is revisited across the (inner) round-chunk axis, so chain state stays
+    # resident in VMEM for the whole sampling run
+    r_step = pl.program_id(1)
+
+    @pl.when(r_step == 0)
+    def _():
+        out_ref[:] = bits_ref[:]
+
+    bits = out_ref[:]  # [BLK, N] f32 in {0, 1}
+    probs = probs_ref[:]  # [1, N] -> broadcasts
+    col = jax.lax.broadcasted_iota(jnp.int32, bits.shape, 1)
+
+    def body(r, bits):
+        return _mh_body(bits, probs, col, nodes_ref[r, :], u_ref[r, :])
+
+    out_ref[:] = jax.lax.fori_loop(0, rounds_chunk, body, bits)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("num_rounds", "block_chains", "rounds_chunk", "interpret"),
+)
+def mh_sample_pallas(
+    key: jax.Array,
+    probs: jax.Array,
+    bits: jax.Array,
+    num_rounds: int,
+    block_chains: int = 128,
+    rounds_chunk: int = 128,
+    interpret: bool = False,
+) -> jax.Array:
+    """Run `num_rounds` MH proposal rounds on every chain (fused kernel).
+
+    probs: f32 [N]; bits: bool/f32 [B, N] with B a multiple of
+    `block_chains` and num_rounds a multiple of `rounds_chunk` (the per-grid-
+    step random block kept in VMEM). Returns bool [B, N]. `interpret=True`
+    runs the kernel in interpreter mode (CPU CI).
+    """
+    b, n = bits.shape
+    if b % block_chains != 0:
+        raise ValueError(f"chains {b} not a multiple of block {block_chains}")
+    rounds_chunk = min(rounds_chunk, num_rounds)
+    if num_rounds % rounds_chunk != 0:
+        raise ValueError(f"rounds {num_rounds} not a multiple of {rounds_chunk}")
+    nodes, u = make_round_randoms(key, num_rounds, b, n)
+    bits_f = bits.astype(jnp.float32)
+    probs2 = probs.astype(jnp.float32)[None, :]
+
+    out = pl.pallas_call(
+        functools.partial(_mh_kernel, rounds_chunk=rounds_chunk),
+        out_shape=jax.ShapeDtypeStruct((b, n), jnp.float32),
+        grid=(b // block_chains, num_rounds // rounds_chunk),
+        in_specs=[
+            pl.BlockSpec((1, n), lambda i, r: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (rounds_chunk, block_chains),
+                lambda i, r: (r, i),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (rounds_chunk, block_chains),
+                lambda i, r: (r, i),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (block_chains, n), lambda i, r: (i, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (block_chains, n), lambda i, r: (i, 0), memory_space=pltpu.VMEM
+        ),
+        interpret=interpret,
+    )(probs2, nodes, u, bits_f)
+    return out > 0.5
+
+
+@functools.partial(jax.jit, static_argnames=("num_rounds",))
+def mh_reference(
+    key: jax.Array, probs: jax.Array, bits: jax.Array, num_rounds: int
+) -> jax.Array:
+    """XLA scan twin consuming the SAME injected randomness — bit-exact
+    against `mh_sample_pallas` for any (key, probs, bits)."""
+    b, n = bits.shape
+    nodes, u = make_round_randoms(key, num_rounds, b, n)
+    col = jax.lax.broadcasted_iota(jnp.int32, (b, n), 1)
+    probs2 = probs.astype(jnp.float32)[None, :]
+
+    def body(bits, inp):
+        node, uu = inp
+        return _mh_body(bits, probs2, col, node, uu), None
+
+    out, _ = jax.lax.scan(body, bits.astype(jnp.float32), (nodes, u))
+    return out > 0.5

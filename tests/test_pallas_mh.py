@@ -1,0 +1,53 @@
+"""Pallas MH sampler: bit-exact parity with the XLA twin (interpret mode)
+and distributional correctness."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rlsolver_tpu.ops.pallas.mh_sampler import (
+    make_round_randoms,
+    mh_reference,
+    mh_sample_pallas,
+)
+
+
+def test_pallas_bit_exact_vs_xla_twin():
+    key = jax.random.PRNGKey(0)
+    probs = jax.random.uniform(jax.random.fold_in(key, 1), (24,), minval=0.2, maxval=0.8)
+    bits = jax.random.bernoulli(jax.random.fold_in(key, 2), 0.5, (256, 24))
+    out_pallas = mh_sample_pallas(
+        key, probs, bits, num_rounds=64, block_chains=128, interpret=True
+    )
+    out_xla = mh_reference(key, probs, bits, num_rounds=64)
+    np.testing.assert_array_equal(np.asarray(out_pallas), np.asarray(out_xla))
+
+
+def test_pallas_mh_stationary_distribution():
+    # single-site MH with accept (1-q)/q, q = P(current value), satisfies
+    # detailed balance for pi(1) = p: the chain samples toward the policy
+    probs = jnp.asarray([0.3, 0.5, 0.7, 0.4, 0.6, 0.5, 0.2, 0.8])
+    bits = jax.random.bernoulli(jax.random.PRNGKey(3), 0.5, (512, 8))
+    out = mh_sample_pallas(
+        jax.random.PRNGKey(4), probs, bits, num_rounds=768,
+        block_chains=128, interpret=True,
+    )
+    mean = np.asarray(out).mean(axis=0)
+    np.testing.assert_allclose(mean, np.asarray(probs), atol=0.08)
+
+
+def test_round_randoms_shapes():
+    nodes, u = make_round_randoms(jax.random.PRNGKey(5), 10, 32, 7)
+    assert nodes.shape == (10, 32) and u.shape == (10, 32)
+    assert int(nodes.min()) >= 0 and int(nodes.max()) < 7
+    assert float(u.min()) >= 0.0 and float(u.max()) < 1.0
+
+
+def test_determinism_and_seed_sensitivity():
+    probs = jnp.full((16,), 0.5)
+    bits = jax.random.bernoulli(jax.random.PRNGKey(6), 0.5, (128, 16))
+    a = mh_sample_pallas(jax.random.PRNGKey(7), probs, bits, 32, 128, interpret=True)
+    b = mh_sample_pallas(jax.random.PRNGKey(7), probs, bits, 32, 128, interpret=True)
+    c = mh_sample_pallas(jax.random.PRNGKey(8), probs, bits, 32, 128, interpret=True)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert (np.asarray(a) != np.asarray(c)).any()
