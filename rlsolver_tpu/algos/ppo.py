@@ -262,6 +262,20 @@ def train_ppo(
     return state, history
 
 
+def train_a2c(
+    graph: Graph, cfg: Optional[PPOConfig] = None, model: Optional[nn.Module] = None
+):
+    """A2C (`ECO_S2V/jumanji/agents/AgentA2C` capability): the PPO loop
+    degenerates to advantage actor-critic with one full-batch update per
+    rollout and no ratio clipping (single epoch => ratio == 1, so the
+    clipped surrogate equals the vanilla policy gradient)."""
+    cfg = cfg or PPOConfig()
+    cfg = dataclasses.replace(
+        cfg, num_minibatches=1, update_epochs=1, clip_coef=10.0, clip_vloss=False
+    )
+    return train_ppo(graph, cfg, model)
+
+
 def train_ppo_sharded(
     graph: Graph,
     mesh,

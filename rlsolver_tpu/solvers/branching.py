@@ -251,7 +251,7 @@ def branch_and_bound(
 class BranchNet:
     """MLP scoring branching candidates (the IL policy, `model.py`)."""
 
-    def __init__(self, hidden: int = 64, seed: int = 0):
+    def __init__(self, hidden: int = 64, seed: int = 0, pad_candidates: int = 8):
         import flax.linen as nn
 
         class _Net(nn.Module):
@@ -262,8 +262,14 @@ class BranchNet:
                 return nn.Dense(1)(x)[..., 0]
 
         self.net = _Net()
+        self.pad_candidates = pad_candidates
         self.params = self.net.init(
             jax.random.PRNGKey(seed), jnp.zeros((1, NUM_FEATURES))
+        )
+        # one compiled scorer at a fixed padded shape (eager per-node apply
+        # would round-trip the accelerator per op)
+        self._score = jax.jit(
+            lambda p, f: self.net.apply(p, f)
         )
 
     def train_il(self, samples: List[Tuple[np.ndarray, int]], epochs: int = 200, lr: float = 1e-3):
@@ -303,8 +309,14 @@ class BranchNet:
         return history
 
     def policy(self) -> BranchPolicy:
+        pad = self.pad_candidates
+
         def choose(feats: np.ndarray, cand: np.ndarray) -> int:
-            scores = self.net.apply(self.params, jnp.asarray(feats))
-            return int(jnp.argmax(scores))
+            k = feats.shape[0]
+            padded = np.zeros((pad, NUM_FEATURES), np.float32)
+            padded[: min(k, pad)] = feats[:pad]
+            scores = np.array(self._score(self.params, jnp.asarray(padded)))
+            scores[k:] = -np.inf
+            return int(np.argmax(scores))
 
         return choose
