@@ -26,9 +26,18 @@ import numpy as np
 
 
 def result_file_name(instance_file: str, add_tail: str = "") -> str:
+    """Map a data path to its result path (`util.py:200-211` convention).
+
+    Replaces the LAST `data` path segment (or `data` filename prefix) so an
+    unrelated `data` substring elsewhere in the absolute path is untouched.
+    """
     new_file = instance_file
-    if "data" in new_file:
-        new_file = new_file.replace("data", "result")
+    parts = new_file.split(os.sep)
+    for i in range(len(parts) - 1, -1, -1):
+        if parts[i] == "data" or (i < len(parts) - 1 and parts[i].startswith("data")):
+            parts[i] = parts[i].replace("data", "result", 1)
+            new_file = os.sep.join(parts)
+            break
     result_dir = os.path.dirname(new_file) or "."
     os.makedirs(result_dir, exist_ok=True)
     if add_tail is not None:

@@ -1,0 +1,203 @@
+"""Unified CLI: one entry point over the problem/alg/data axes.
+
+The reference's L6 is per-method `main.py` scripts wired to module-level
+config constants (`methods/config.py:9-83`, `ECO_S2V/config.py`,
+`README.md:254-286` usage). SURVEY.md section 1 calls for unifying that
+into a single driver: this module maps `--alg` to the solver registry,
+runs it over every instance (files via `--data-dir`/`--prefixes`, the
+reference's `<alg>_manyfiles` pattern, or synthetic `--graphs BA_100_ID0`),
+and writes reference-format result files.
+
+    python -m rlsolver_tpu --alg greedy --graphs BA_100_ID0 BA_100_ID1
+    python -m rlsolver_tpu --alg mcpg --data-dir data/gset --prefixes gset_14
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+from typing import Callable, Dict, Tuple
+
+import numpy as np
+
+from rlsolver_tpu.core.generate import graph_from_name
+from rlsolver_tpu.core.graph import Graph
+from rlsolver_tpu.core.io import list_graph_files, read_graph
+from rlsolver_tpu.core.result import write_graph_result
+from rlsolver_tpu.problems.objectives import obj_maxcut
+
+
+Solver = Callable[[Graph, int], Tuple[np.ndarray, float]]
+
+
+def _greedy(g, seed):
+    from rlsolver_tpu.classical.greedy import greedy_maxcut
+
+    return greedy_maxcut(g)
+
+
+def _sa(g, seed):
+    from rlsolver_tpu.classical.simulated_annealing import SAConfig, anneal_maxcut
+
+    return anneal_maxcut(g, SAConfig(seed=seed))
+
+
+def _ga(g, seed):
+    from rlsolver_tpu.classical.genetic import GAConfig, genetic_maxcut
+
+    return genetic_maxcut(g, GAConfig(seed=seed))
+
+
+def _random_walk(g, seed):
+    from rlsolver_tpu.classical.random_walk import random_walk_maxcut
+
+    return random_walk_maxcut(g, seed=seed)
+
+
+def _sdp(g, seed):
+    from rlsolver_tpu.classical.sdp import SDPConfig, sdp_maxcut
+
+    return sdp_maxcut(g, SDPConfig(seed=seed))
+
+
+def _bls(g, seed):
+    from rlsolver_tpu.classical.bls import BLSConfig, solve_maxcut_bls
+
+    bits, cut, _ = solve_maxcut_bls(g, BLSConfig(seed=seed))
+    return bits, cut
+
+
+def _local_search(g, seed):
+    from rlsolver_tpu.algos.local_search_solver import (
+        LocalSearchConfig,
+        solve_maxcut_local_search,
+    )
+
+    out = solve_maxcut_local_search(g, LocalSearchConfig(seed=seed))
+    return out[0], out[1]
+
+
+def _mcpg(g, seed):
+    from rlsolver_tpu.algos.mcpg import MCPGConfig, solve_maxcut_mcpg
+
+    out = solve_maxcut_mcpg(g, MCPGConfig(seed=seed))
+    return out[0], out[1]
+
+
+def _l2a(g, seed):
+    from rlsolver_tpu.algos.l2a import L2AConfig, solve_maxcut_l2a
+
+    out = solve_maxcut_l2a(g, L2AConfig(seed=seed))
+    return out[0], out[1]
+
+
+def _isco(g, seed):
+    from rlsolver_tpu.algos.isco import ISCOConfig, solve_maxcut_isco
+
+    out = solve_maxcut_isco(g, ISCOConfig(seed=seed))
+    return out[0], out[1]
+
+
+def _pignn(g, seed):
+    from rlsolver_tpu.algos.pignn import PIGNNConfig, solve_maxcut_pignn
+
+    return solve_maxcut_pignn(g, PIGNNConfig(seed=seed))
+
+
+def _vqe(g, seed):
+    from rlsolver_tpu.solvers.vqe import VQEConfig, vqe_maxcut
+
+    bits, cut, _ = vqe_maxcut(g, VQEConfig(seed=seed))
+    return bits, cut
+
+
+def _seq2seq(g, seed):
+    from rlsolver_tpu.algos.l2o import Seq2SeqConfig, solve_maxcut_seq2seq
+
+    bits, cut, _ = solve_maxcut_seq2seq(g, Seq2SeqConfig(seed=seed))
+    return bits, cut
+
+
+def _l2o(g, seed):
+    from rlsolver_tpu.algos.l2o import L2OConfig, solve_maxcut_l2o
+
+    bits, cut, _ = solve_maxcut_l2o(g, L2OConfig(seed=seed))
+    return bits, cut
+
+
+def _milp(g, seed):
+    from rlsolver_tpu.solvers.milp import solve_maxcut
+
+    res = solve_maxcut(g)
+    return res.solution.astype(bool), res.obj
+
+
+SOLVERS: Dict[str, Solver] = {
+    "greedy": _greedy,
+    "sa": _sa,
+    "ga": _ga,
+    "random_walk": _random_walk,
+    "sdp": _sdp,
+    "bls": _bls,
+    "local_search": _local_search,
+    "mcpg": _mcpg,
+    "l2a": _l2a,
+    "isco": _isco,
+    "pignn": _pignn,
+    "vqe": _vqe,
+    "seq2seq": _seq2seq,
+    "l2o": _l2o,
+    "milp": _milp,
+}
+
+
+def run_one(alg: str, graph: Graph, seed: int, write: bool, instance_path: str):
+    t0 = time.time()
+    bits, value = SOLVERS[alg](graph, seed)
+    duration = time.time() - t0
+    bits = np.asarray(bits).astype(np.int64)
+    check = obj_maxcut(bits, graph)
+    assert abs(check - value) < 1e-4, f"solver/objective mismatch: {value} vs {check}"
+    path = None
+    if write:
+        path = write_graph_result(
+            obj=value,
+            running_duration=duration,
+            num_nodes=graph.num_nodes,
+            alg_name=alg,
+            solution=bits,
+            instance_file=instance_path,
+        )
+    return value, duration, path
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="rlsolver_tpu", description=__doc__)
+    p.add_argument("--alg", required=True, choices=sorted(SOLVERS))
+    p.add_argument("--data-dir", default=None, help="directory of gset-format txt files")
+    p.add_argument("--prefixes", nargs="*", default=[], help="instance filename prefixes")
+    p.add_argument("--graphs", nargs="*", default=[], help="synthetic names, e.g. BA_100_ID0")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--no-write", action="store_true", help="skip result files")
+    args = p.parse_args(argv)
+
+    jobs = []
+    if args.data_dir:
+        for f in list_graph_files(args.data_dir, args.prefixes or [""]):
+            jobs.append((read_graph(f), f))
+    for name in args.graphs:
+        jobs.append((graph_from_name(name), os.path.join("data", f"{name}.txt")))
+    if not jobs:
+        p.error("nothing to solve: pass --data-dir or --graphs")
+
+    for graph, path in jobs:
+        value, duration, out = run_one(args.alg, graph, args.seed, not args.no_write, path)
+        name = graph.name or os.path.basename(path)
+        print(f"{args.alg} {name}: obj={value:.1f} time={duration:.2f}s"
+              + (f" -> {out}" if out else ""))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
