@@ -104,3 +104,25 @@ class CheckpointManager:
         )
         for _, name in dirs[: -self.keep]:
             shutil.rmtree(os.path.join(self.root, name), ignore_errors=True)
+
+    def select_best(self, eval_fn, like: Optional[Any] = None, maximize: bool = True):
+        """Evaluate every retained checkpoint and return the best
+        (state, step, score) — the reference's validation-driven
+        checkpoint selection (`ECO_S2V/select_best_neural_network.py:31`).
+        `eval_fn(state) -> float`."""
+        best = None
+        if not os.path.isdir(self.root):
+            return None
+        for name in sorted(os.listdir(self.root)):
+            if not name.startswith("step_"):
+                continue
+            step = int(name[5:])
+            state = restore_checkpoint(os.path.join(self.root, name), like)
+            score = float(eval_fn(state))
+            key = score if maximize else -score
+            if best is None or key > best[0]:
+                best = (key, state, step, score)
+        if best is None:
+            return None
+        _, state, step, score = best
+        return state, step, score
