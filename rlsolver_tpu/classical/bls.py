@@ -106,9 +106,14 @@ def solve_maxcut_bls(
     strength0 = jnp.full((cfg.num_chains,), cfg.base_strength, jnp.int32)
     history0 = jnp.zeros((cfg.num_chains, cfg.history_len), jnp.int32)
     carry = (xs, vs, xs, vs, strength0, history0, jnp.int32(0))
-    carry, best_hist = jax.lax.scan(
-        jax.jit(round_step), carry, jax.random.split(key, cfg.num_rounds)
-    )
+    # one jitted round, python loop outside: scanning all rounds into a
+    # single XLA program makes the (sweep-in-round) compile pathological
+    # on some backends, and the loop is only tens of iterations
+    step = jax.jit(lambda carry, k: round_step(carry, k))
+    best_hist = []
+    for k in jax.random.split(key, cfg.num_rounds):
+        carry, best = step(carry, k)
+        best_hist.append(float(best))
     _, _, best_xs, best_vs, _, _, _ = carry
     b = int(jnp.argmax(best_vs))
-    return np.asarray(best_xs[b]), float(best_vs[b]), [float(h) for h in best_hist]
+    return np.asarray(best_xs[b]), float(best_vs[b]), best_hist

@@ -36,7 +36,7 @@ def test_instance_conflicts_counts():
 
 
 def small_cfg():
-    return RunCspConfig(state_size=32, iterations=8, epochs=30, lr=2e-3, seed=0)
+    return RunCspConfig(state_size=32, iterations=6, epochs=18, lr=3e-3, seed=0)
 
 
 def test_runcsp_maxcut_beats_random():
