@@ -1,0 +1,233 @@
+"""Distribution-wise dREINFORCE/L2A: one policy across a graph family.
+
+Reference counterpart: `rlsolver/methods/L2A/demo_distribution.py:25-500` —
+identical to the instance-wise loop (`demo_instance.py`) except that every
+reset samples a FRESH graph from the BA/ER/PL distribution, the graph
+transformer embeds each new adjacency, and progress is tracked as the mean
+best cut over 30 fixed seeded validation instances
+(`demo_distribution.py:60,110-125`; `num_instances=30`). This is the
+protocol behind the README's distribution-wise benchmark tables
+(`Benchmark.rst:17-76`).
+
+TPU-first: every jitted function takes the dense adjacency as an ARGUMENT
+(same [N, N] shape across the family), so training over thousands of
+sampled graphs reuses one compiled program — no per-instance retrace.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from rlsolver_tpu.config import GraphType
+from rlsolver_tpu.core.generate import generate_graph
+from rlsolver_tpu.models.transformer import (
+    GraphEncoder,
+    PolicyTrsWithValue,
+    solution_to_prob_channels,
+)
+from rlsolver_tpu.ops.reductions import update_xs_by_vs
+from rlsolver_tpu.ops.sampling import sub_set_sampling
+
+
+# --------------------------------------------------- adjacency-arg primitives
+def _cut_value_adj(xs: jax.Array, adj: jax.Array) -> jax.Array:
+    """Cut from a dense adjacency argument, f32 [B]:
+    cut = (W - s A s / 2) / 2 with s in {-1, +1}, W = total weight."""
+    s = jnp.where(xs, 1.0, -1.0)
+    quad = jnp.einsum("bi,ij,bj->b", s, adj, s)
+    w_total = adj.sum() / 2.0
+    return (w_total - quad / 2.0) / 2.0
+
+
+def flip_gains_adj(xs: jax.Array, adj: jax.Array) -> jax.Array:
+    """Per-node cut gain of flipping, f32 [B, N]."""
+    s = jnp.where(xs, 1.0, -1.0)
+    field = s @ adj  # [B, N]
+    return s * field
+
+
+@dataclasses.dataclass
+class L2ADistConfig:
+    graph_type: GraphType = GraphType.BA
+    num_nodes: int = 64
+    num_sims: int = 128
+    num_repeats: int = 4
+    top_k: int = 8
+    seq_len: int = 8
+    num_iters: int = 20
+    embed_dim: int = 32
+    num_heads: int = 4
+    pretrain_steps: int = 100
+    pretrain_lr: float = 1e-3
+    lr: float = 2e-4
+    ls_sweeps: int = 1
+    num_validation: int = 30  # fixed seeded instances (`num_instances=30`)
+    seed: int = 0
+
+
+def _sample_adj(cfg: L2ADistConfig, seed: int) -> jnp.ndarray:
+    g = generate_graph(cfg.graph_type, cfg.num_nodes, seed=seed)
+    return jnp.asarray(g.adjacency_dense())
+
+
+def sweep_1flip_adj(xs: jax.Array, adj: jax.Array, num_sweeps: int = 1) -> jax.Array:
+    """Greedy sequential 1-flip sweep with the adjacency as an argument."""
+    s = jnp.where(xs, 1.0, -1.0)
+    gains = s * (s @ adj)
+
+    def body(i, carry):
+        s, gains = carry
+        g_i = gains[:, i]
+        accept = g_i > 0.0
+        row = adj[i, :]
+        s_i = s[:, i]
+        delta = -2.0 * (s_i * accept)[:, None] * s * row[None, :]
+        gains = gains + delta
+        gains = gains.at[:, i].set(jnp.where(accept, -g_i, g_i))
+        s = s.at[:, i].set(jnp.where(accept, -s_i, s_i))
+        return s, gains
+
+    for _ in range(num_sweeps):
+        s, gains = jax.lax.fori_loop(0, xs.shape[1], body, (s, gains))
+    return s > 0.0
+
+
+def pretrain_encoder_distribution(cfg: L2ADistConfig):
+    """Adjacency auto-encoding over FRESH sampled graphs
+    (`train_graph_net_in_graph_distribution`,
+    `L2A/graph_embedding_pretrain.py:191`)."""
+    enc = GraphEncoder(
+        num_nodes=cfg.num_nodes, embed_dim=cfg.embed_dim, num_heads=cfg.num_heads
+    )
+    key = jax.random.PRNGKey(cfg.seed)
+    adj0 = _sample_adj(cfg, 0)
+    params = enc.init(key, adj0[None])
+    opt = optax.adam(cfg.pretrain_lr)
+    opt_state = opt.init(params)
+
+    @jax.jit
+    def step(params, opt_state, adj):
+        def loss_fn(p):
+            recon, _ = enc.apply(p, adj[None])
+            return jnp.mean((recon - adj[None]) ** 2)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = opt.update(grads, opt_state)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    losses = []
+    for i in range(cfg.pretrain_steps):
+        adj = _sample_adj(cfg, 10_000 + i)
+        params, opt_state, loss = step(params, opt_state, adj)
+        losses.append(float(loss))
+    return enc, params, losses
+
+
+def train_l2a_distribution(cfg: L2ADistConfig = L2ADistConfig()):
+    """Returns (validate_fn results history, final params bundle)."""
+    enc, enc_params, _ = pretrain_encoder_distribution(cfg)
+    net = PolicyTrsWithValue(embed_dim=cfg.embed_dim, num_heads=cfg.num_heads)
+    key = jax.random.PRNGKey(cfg.seed + 1)
+
+    adj0 = _sample_adj(cfg, 0)
+    seq0 = enc.embed(enc_params, adj0[None])[0]
+    xs0 = jnp.zeros((cfg.num_sims, cfg.num_nodes), bool)
+    key, k_init = jax.random.split(key)
+    params = net.init(k_init, solution_to_prob_channels(xs0), seq0)
+    optimizer = optax.chain(optax.clip_by_global_norm(1.0), optax.adam(cfg.lr))
+    opt_state = optimizer.init(params)
+
+    @jax.jit
+    def embed(adj):
+        return enc.embed(enc_params, adj[None])[0]
+
+    @jax.jit
+    def improve_round(params, key, adj, seq_graph, xs, vs):
+        """One policy-guided improvement: probs -> top-k resample ->
+        sweep -> elitist accept. Returns (xs, vs, logp, reward)."""
+        k_sample, k_ls = jax.random.split(key)
+        logits, _ = net.apply(params, solution_to_prob_channels(xs), seq_graph)
+        probs = jax.nn.softmax(logits, axis=-1)[..., 0]
+        cand = sub_set_sampling(k_sample, probs, xs, cfg.num_repeats, cfg.top_k)
+        cand = sweep_1flip_adj(cand, adj, cfg.ls_sweeps)
+        cand_vs = _cut_value_adj(cand, adj)
+        # best of repeats per sim
+        vs_r = cand_vs.reshape(cfg.num_repeats, cfg.num_sims)
+        rows = jnp.argmax(vs_r, axis=0) * cfg.num_sims + jnp.arange(cfg.num_sims)
+        new_xs, new_vs = cand[rows], cand_vs[rows]
+        xs2, vs2 = update_xs_by_vs(xs, vs, new_xs, new_vs)
+        reward = vs2 - vs
+        s = new_xs.astype(jnp.float32)
+        p_rows = probs  # row b of new_xs came from sim b
+        logp = jnp.log(jnp.clip(s * p_rows + (1 - s) * (1 - p_rows), 1e-8)).sum(axis=1)
+        return xs2, vs2, logp, reward
+
+    @jax.jit
+    def update(params, opt_state, adj, seq_graph, xs, vs, key):
+        def loss_fn(p):
+            k = key
+            total = 0.0
+            xs_c, vs_c = xs, vs
+            for t in range(cfg.seq_len):
+                k = jax.random.fold_in(k, t)
+                k_sample, _ = jax.random.split(k)
+                logits, value = net.apply(p, solution_to_prob_channels(xs_c), seq_graph)
+                probs = jax.nn.softmax(logits, axis=-1)[..., 0]
+                cand = sub_set_sampling(k_sample, probs, xs_c, 1, cfg.top_k)
+                cand = sweep_1flip_adj(cand, adj, cfg.ls_sweeps)
+                cand_vs = _cut_value_adj(cand, adj)
+                xs_new, vs_new = update_xs_by_vs(xs_c, vs_c, cand, cand_vs)
+                reward = vs_new - vs_c
+                s = jax.lax.stop_gradient(cand.astype(jnp.float32))
+                logp = jnp.log(jnp.clip(s * probs + (1 - s) * (1 - probs), 1e-8)).sum(1)
+                adv = jax.lax.stop_gradient(reward - reward.mean())
+                total = total - jnp.mean(logp * adv)
+                xs_c = jax.lax.stop_gradient(xs_new)
+                vs_c = jax.lax.stop_gradient(vs_new)
+            return total / cfg.seq_len, (xs_c, vs_c)
+
+        (loss, (xs2, vs2)), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, xs2, vs2, loss
+
+    def validate(params) -> float:
+        """Mean best cut over the fixed seeded validation instances."""
+        total = 0.0
+        for v in range(cfg.num_validation):
+            adj = _sample_adj(cfg, 77_000 + v)
+            seq = embed(adj)
+            k = jax.random.PRNGKey(1000 + v)
+            xs = jax.random.bernoulli(k, 0.5, (cfg.num_sims, cfg.num_nodes))
+            vs = _cut_value_adj(xs, adj)
+            for t in range(4):
+                xs, vs, _, _ = improve_round(
+                    params, jax.random.fold_in(k, t), adj, seq, xs, vs
+                )
+            total += float(jnp.max(vs))
+        return total / cfg.num_validation
+
+    history = []
+    for it in range(cfg.num_iters):
+        adj = _sample_adj(cfg, 50_000 + it)  # FRESH graph every iteration
+        seq = embed(adj)
+        key, k_x, k_u = jax.random.split(key, 3)
+        xs = jax.random.bernoulli(k_x, 0.5, (cfg.num_sims, cfg.num_nodes))
+        vs = _cut_value_adj(xs, adj)
+        params, opt_state, xs, vs, loss = update(
+            params, opt_state, adj, seq, xs, vs, k_u
+        )
+        history.append({"loss": float(loss), "train_best": float(jnp.max(vs))})
+    return {
+        "net": net,
+        "params": params,
+        "encoder": enc,
+        "encoder_params": enc_params,
+        "validate": validate,
+        "history": history,
+    }
