@@ -126,6 +126,35 @@ class CSPInstance:
         edges = graph.edges.astype(np.int32)
         return CSPInstance(language, graph.num_nodes, {relation: edges})
 
+    @staticmethod
+    def generate_xu(
+        num_vars: int,
+        domain: int = 3,
+        density: float = 2.0,
+        seed: int = 0,
+    ) -> Tuple["CSPInstance", np.ndarray]:
+        """Forced-satisfiable hard coloring instance, Xu/Model-RB style
+        (`RUNCSP/generate_xu_instances.py` capability): plant a hidden
+        assignment, then add `density * n * ln(n)` NEQ constraints only
+        between differently-assigned variables — satisfiable by
+        construction, hard near the phase-transition density.
+
+        Returns (instance, hidden assignment)."""
+        rng = np.random.RandomState(seed)
+        hidden = rng.randint(0, domain, num_vars)
+        num_clauses = int(density * num_vars * max(1.0, np.log(num_vars)))
+        pairs = set()
+        tries = 0
+        while len(pairs) < num_clauses and tries < 50 * num_clauses:
+            tries += 1
+            a, b = rng.randint(0, num_vars, 2)
+            if a == b or hidden[a] == hidden[b]:
+                continue
+            pairs.add((min(a, b), max(a, b)))
+        edges = np.asarray(sorted(pairs), np.int32)
+        lang = ConstraintLanguage.coloring(domain)
+        return CSPInstance(lang, num_vars, {"NEQ": edges}), hidden
+
 
 # ---------------------------------------------------------------------- model
 class RunCspNetwork(nn.Module):

@@ -63,6 +63,15 @@ def test_runcsp_coloring_random_instances():
     assert conflicts <= insts[0].num_clauses // 3 + 2
 
 
+def test_xu_generator_forced_satisfiable():
+    inst, hidden = CSPInstance.generate_xu(30, domain=3, density=1.5, seed=7)
+    assert inst.count_conflicts(hidden) == 0  # planted solution satisfies
+    assert inst.num_clauses > 30  # non-trivial density
+    # every constraint joins differently-colored endpoints
+    for a, b in inst.clauses["NEQ"]:
+        assert hidden[a] != hidden[b]
+
+
 def test_runcsp_max2sat_language():
     lang = ConstraintLanguage.max2sat()
     inst = CSPInstance.generate_random(12, 30, lang, seed=1)
