@@ -70,6 +70,33 @@ class Evaluator:
     def best_str(self) -> str:
         return self.codec.bits_to_str(self.best_x.astype(bool))
 
+    def save_curve_plot(self, path: Optional[str] = None) -> Optional[str]:
+        """Objective-vs-time curve as a jpg (`Evaluator.save_record_draw_plot`
+        capability, `util_evaluator.py:109-132`). Returns the path written
+        (None when matplotlib is unavailable or nothing recorded)."""
+        if not self.records:
+            return None
+        try:
+            import matplotlib
+
+            matplotlib.use("Agg")
+            import matplotlib.pyplot as plt
+        except ImportError:
+            return None
+        path = path or (
+            os.path.join(self.save_dir, "curve.jpg") if self.save_dir else "curve.jpg"
+        )
+        arr = np.asarray(self.records)
+        fig, ax = plt.subplots(figsize=(6, 4))
+        ax.plot(arr[:, 2], arr[:, 1], lw=1)
+        ax.set_xlabel("wall time (s)")
+        ax.set_ylabel("objective")
+        ax.set_title(f"best {self.best_v:.2f}")
+        fig.tight_layout()
+        fig.savefig(path, dpi=100)
+        plt.close(fig)
+        return path
+
     def save(self) -> None:
         if not self.save_dir:
             return
