@@ -135,15 +135,33 @@ class MultiKnapsackInstance:
 
 
 def read_multiknapsack(filename: str) -> MultiKnapsackInstance:
+    """Two layouts ship with the reference (`util_read_data.py:245-311` and
+    the mknap2 family):
+
+      3-token header: `n m optimal / profits[n] / m rows[n] / rhs[m]`
+      2-token header: `m n / profits[n] / rhs[m] / m rows[n] / optimal`
+    """
     with open(filename, "r") as f:
+        first = f.readline().split()
         tokens = f.read().split()
     it = iter(tokens)
-    n_vars, m_cons, optimal = int(next(it)), int(next(it)), float(next(it))
-    profits = np.asarray([float(next(it)) for _ in range(n_vars)], np.float32)
-    cons = np.asarray(
-        [[float(next(it)) for _ in range(n_vars)] for _ in range(m_cons)], np.float32
-    )
-    rhs = np.asarray([float(next(it)) for _ in range(m_cons)], np.float32)
+    if len(first) >= 3:
+        n_vars, m_cons, optimal = int(first[0]), int(first[1]), float(first[2])
+        profits = np.asarray([float(next(it)) for _ in range(n_vars)], np.float32)
+        cons = np.asarray(
+            [[float(next(it)) for _ in range(n_vars)] for _ in range(m_cons)],
+            np.float32,
+        )
+        rhs = np.asarray([float(next(it)) for _ in range(m_cons)], np.float32)
+    else:
+        m_cons, n_vars = int(first[0]), int(first[1])
+        profits = np.asarray([float(next(it)) for _ in range(n_vars)], np.float32)
+        rhs = np.asarray([float(next(it)) for _ in range(m_cons)], np.float32)
+        cons = np.asarray(
+            [[float(next(it)) for _ in range(n_vars)] for _ in range(m_cons)],
+            np.float32,
+        )
+        optimal = float(next(it))
     return MultiKnapsackInstance(optimal, profits, cons, rhs)
 
 

@@ -134,6 +134,14 @@ def solve_knapsack(inst: KnapsackInstance, time_limit: float = 60.0) -> MilpResu
     return _solve(inst.profits, [cons], np.ones(n), Bounds(0, 1), time_limit, True)
 
 
+def solve_multiknapsack(inst, time_limit: float = 60.0) -> MilpResult:
+    """Multi-dimensional knapsack (`read_multiknapsack_data` instances,
+    `util_read_data.py:245-311`): max p.x s.t. C x <= rhs, x binary."""
+    n = inst.profits.shape[0]
+    cons = LinearConstraint(inst.constraints.astype(float), -np.inf, inst.rhs)
+    return _solve(inst.profits, [cons], np.ones(n), Bounds(0, 1), time_limit, True)
+
+
 def solve_graph_partitioning(graph: Graph, time_limit: float = 60.0) -> MilpResult:
     """Minimize cut subject to |side 1| == n/2 (n must be even)."""
     n, m = graph.num_nodes, graph.num_edges

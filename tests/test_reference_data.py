@@ -31,6 +31,17 @@ def test_knapsack_file_chain():
     assert v_dp >= v_g - 1e-9  # exact >= heuristic
 
 
+def test_multiknapsack_files_solve_to_stated_optima():
+    from rlsolver_tpu.core.io import read_multiknapsack
+    from rlsolver_tpu.solvers.milp import solve_multiknapsack
+
+    for fname in ("mknap1_ID00.txt", "mknap2_ID02.txt"):  # both layouts
+        inst = read_multiknapsack(os.path.join(DATA, "multiknapsack", fname))
+        res = solve_multiknapsack(inst, time_limit=30)
+        assert (inst.constraints @ res.solution <= inst.rhs + 1e-6).all()
+        assert abs(res.obj - inst.optimal_obj) < 1e-6  # header states optimum
+
+
 def test_maxsat_cnf_chain():
     from rlsolver_tpu.problems.maxsat import MaxSatEnv, MaxSatInstance
 
