@@ -123,6 +123,19 @@ def solve_mcpg(problem: McpgProblem, cfg: MultiMCPGConfig = MultiMCPGConfig()):
 
 
 # ------------------------------------------------------------------ adapters
+def maxcut_edge_problem(graph, num_sweeps: int = 1) -> McpgProblem:
+    """Maxcut with the edge-pair local search (`mcpg_sampling_maxcut_edge`)."""
+    from rlsolver_tpu.ops import cut as cut_ops
+    from rlsolver_tpu.ops.sweeps import edge_pair_sweep
+
+    cg = cut_ops.CutGraph.build(graph)
+    return McpgProblem(
+        num_vars=graph.num_nodes,
+        score=lambda bits: cut_ops.cut_value(bits, cg),
+        improve=lambda k, bits: edge_pair_sweep(k, bits, graph, num_sweeps),
+    )
+
+
 def maxsat_problem(env, num_sweeps: int = 2) -> McpgProblem:
     """MaxSAT adapter (`mcpg_sampling_maxsat`)."""
     return McpgProblem(

@@ -95,6 +95,75 @@ def degree_ordered_sweep(
     return xt
 
 
+def edge_pair_sweep(
+    key: jax.Array,
+    xs: jax.Array,
+    graph: Graph,
+    num_sweeps: int = 1,
+    noise_scale: float = 0.1,
+) -> jax.Array:
+    """Edge-oriented pair sweep (`mcpg_sampling_maxcut_edge`,
+    reference `MCPG/sampling.py:130-180`): visit edges in descending
+    endpoint-degree order; for edge (r, c) jointly pick the (x_r, x_c)
+    combination maximizing the local cut contribution
+
+        f(x_r, x_c) = cut(r, others) + cut(c, others) + w_rc [x_r != x_c]
+
+    with small exploration noise. Maintains the field h = x @ A
+    incrementally (the reference recomputes per-edge neighbor matvecs).
+    xs: bool [B, N]; returns bool [B, N].
+    """
+    adj_np = graph.adjacency_dense()
+    adj = jnp.asarray(adj_np)
+    wdeg_np = graph.weighted_degrees()
+    e0, e1, ew = graph.edge_arrays()
+    order = np.argsort(-(wdeg_np[e0] + wdeg_np[e1]))
+    er, ec, ww = e0[order], e1[order], ew[order]
+    # pre-gathered per-edge data as scan inputs: the compile stays small
+    # because the scan body contains no dynamic row gathers from adj
+    row_r = jnp.asarray(adj_np[er])  # [E, N]
+    row_c = jnp.asarray(adj_np[ec])
+    onehot_r = jax.nn.one_hot(jnp.asarray(er), graph.num_nodes)  # [E, N]
+    onehot_c = jax.nn.one_hot(jnp.asarray(ec), graph.num_nodes)
+    t_r = jnp.asarray(wdeg_np[er] - ww)
+    t_c = jnp.asarray(wdeg_np[ec] - ww)
+    ww_j = jnp.asarray(ww)
+
+    x = xs.astype(jnp.float32)
+    h = x @ adj  # [B, N] neighbor-weight sums
+
+    def step(carry, inp):
+        x, h = carry
+        oh_r, oh_c, rr, rc, w, tr, tc, k = inp
+        xr = x @ oh_r  # [B] — onehot gathers, no dynamic indices
+        xc = x @ oh_c
+        s_r = h @ oh_r - w * xc  # set-1 neighbor weight excluding partner
+        s_c = h @ oh_c - w * xr
+        noise = jax.random.uniform(k, (4, x.shape[0])) * noise_scale
+        f00 = s_r + s_c + noise[0]
+        f01 = s_r + (tc - s_c) + w + noise[1]
+        f10 = (tr - s_r) + s_c + w + noise[2]
+        f11 = (tr - s_r) + (tc - s_c) + noise[3]
+        choice = jnp.argmax(jnp.stack([f00, f01, f10, f11]), axis=0)
+        new_r = (choice >= 2).astype(jnp.float32)
+        new_c = (choice % 2).astype(jnp.float32)
+        h = h + (new_r - xr)[:, None] * rr[None, :]
+        h = h + (new_c - xc)[:, None] * rc[None, :]
+        x = x + (new_r - xr)[:, None] * oh_r[None, :]
+        x = x + (new_c - xc)[:, None] * oh_c[None, :]
+        return (x, h), None
+
+    m = er.shape[0]
+    keys = jax.random.split(key, m * num_sweeps)
+    tile = lambda a: jnp.tile(a, (num_sweeps,) + (1,) * (a.ndim - 1))
+    seq = (
+        tile(onehot_r), tile(onehot_c), tile(row_r), tile(row_c),
+        tile(ww_j), tile(t_r), tile(t_c), keys,
+    )
+    (x, _), _ = jax.lax.scan(step, (x, h), seq)
+    return x > 0.5
+
+
 def colored_sweep(
     key: jax.Array,
     xs: jax.Array,
