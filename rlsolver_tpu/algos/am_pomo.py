@@ -174,6 +174,62 @@ def train_pomo(cfg: POMOConfig = POMOConfig()):
     return model, state, history
 
 
+def beam_search(
+    model: AttentionTSP,
+    params,
+    nodes: jax.Array,
+    beam_width: int = 4,
+) -> Tuple[jax.Array, jax.Array]:
+    """Batched beam-search decoding (the rl4co `utils/decoding.py` beam
+    strategy). Expands the `beam_width` best partial tours per instance by
+    total log-probability; all beams start at city 0.
+
+    Returns (tours [B, N], lengths [B]) — the best COMPLETED tour per
+    instance by length among the final beams.
+    """
+    b, n, _ = nodes.shape
+    k = beam_width
+    encoded = model.apply(params, nodes, method=AttentionTSP.encode)
+
+    first = jnp.zeros((b, k), jnp.int32)
+    visited = jnp.zeros((b, k, n), bool).at[:, :, 0].set(True)
+    # beam 0 is the only live beam initially (all start identically);
+    # dead beams use a large FINITE sentinel: -inf would turn into NaN in
+    # the score-carry arithmetic and top_k over NaN is backend-defined
+    dead = -1e9
+    scores = jnp.where(jnp.arange(k)[None, :] == 0, 0.0, dead)
+    scores = jnp.broadcast_to(scores, (b, k))
+    tours = jnp.zeros((b, k, n), jnp.int32)
+
+    def step(carry, t):
+        visited, current, scores, tours = carry
+        logits, _ = model.apply(params, nodes, current, first, ~visited, encoded)
+        logp = jax.nn.log_softmax(logits, axis=-1)  # [B, K, N]
+        cand = scores[:, :, None] + logp  # total score per (beam, city)
+        flat = cand.reshape(b, k * n)
+        top_scores, top_idx = jax.lax.top_k(flat, k)  # [B, K]
+        beam_idx = top_idx // n
+        city = (top_idx % n).astype(jnp.int32)
+        bidx = jnp.arange(b)[:, None]
+        visited = visited[bidx, beam_idx]
+        tours = tours[bidx, beam_idx]
+        current = city
+        visited = visited.at[bidx, jnp.arange(k)[None, :], city].set(True)
+        tours = tours.at[:, :, t].set(city)
+        return (visited, current, top_scores, tours), None
+
+    current = jnp.zeros((b, k), jnp.int32)
+    (visited, current, scores, tours), _ = jax.lax.scan(
+        step, (visited, current, scores, tours), jnp.arange(1, n)
+    )
+    # tours[:, :, 0] stays city 0
+    lengths = tour_lengths(nodes, tours)  # [B, K]
+    lengths = jnp.where(scores > dead / 2, lengths, jnp.inf)
+    best = jnp.argmin(lengths, axis=1)
+    bidx = jnp.arange(b)
+    return tours[bidx, best], lengths[bidx, best]
+
+
 def augment_coords_x8(nodes: jax.Array) -> jax.Array:
     """The POMO x8 symmetry augmentation: (x,y) reflections/swaps.
     nodes [B, N, 2] -> [8B, N, 2]."""

@@ -191,6 +191,73 @@ class PrecoderPolicy(nn.Module):
         return normalize_power(w + delta, self.spec.total_power)
 
 
+# ------------------------------------------------------------------- relay
+@dataclasses.dataclass(frozen=True)
+class RelaySpec:
+    """Two-hop downlink: BS (N antennas) -> relay (M antennas) -> K users.
+    (`env_mimo_relay.py:MIMORelayEnv` capability)."""
+
+    num_users: int = 2
+    num_bs_antennas: int = 2
+    num_relay_antennas: int = 2
+    total_power: float = 10.0
+    relay_power: float = 10.0
+    noise_power: float = 1.0
+
+
+def random_relay_channels(key: jax.Array, spec: RelaySpec, batch: int):
+    """(g [B, M, N] BS->relay, h [B, K, M] relay->users)."""
+    kg, kh = jax.random.split(key)
+    s = 1.0 / np.sqrt(2.0)
+    g = CTensor(
+        jax.random.normal(kg, (batch, spec.num_relay_antennas, spec.num_bs_antennas)) * s,
+        jax.random.normal(
+            jax.random.fold_in(kg, 1),
+            (batch, spec.num_relay_antennas, spec.num_bs_antennas),
+        ) * s,
+    )
+    h = CTensor(
+        jax.random.normal(kh, (batch, spec.num_users, spec.num_relay_antennas)) * s,
+        jax.random.normal(
+            jax.random.fold_in(kh, 1),
+            (batch, spec.num_users, spec.num_relay_antennas),
+        ) * s,
+    )
+    return g, h
+
+
+def relay_effective_channel(h: CTensor, f: CTensor, g: CTensor) -> CTensor:
+    """H_eff = H F G [B, K, N] (`env_mimo_relay.py:43` mat_HTFG)."""
+    fg = cmatmul(f, g, "bij,bjk->bik")  # [B, M, N]
+    return cmatmul(h, fg, "bij,bjk->bik")
+
+
+def relay_sum_rate(
+    h: CTensor, f: CTensor, g: CTensor, spec: RelaySpec
+) -> jax.Array:
+    """Sum rate of the two-hop link with the MMSE BS beamformer computed on
+    the effective channel (`compute_mmse_beamformer_relay` flow)."""
+    heff = relay_effective_channel(h, f, g)
+    bs_spec = BeamformingSpec(
+        num_users=spec.num_users,
+        num_antennas=spec.num_bs_antennas,
+        total_power=spec.total_power,
+        noise_power=spec.noise_power,
+    )
+    w = mmse_beamformer(heff, bs_spec)
+    return sum_rate(heff, w, spec.noise_power)
+
+
+def identity_relay(spec: RelaySpec, batch: int) -> CTensor:
+    """Power-normalized identity amplification baseline."""
+    m = spec.num_relay_antennas
+    f = CTensor(
+        jnp.broadcast_to(jnp.eye(m), (batch, m, m)),
+        jnp.zeros((batch, m, m)),
+    )
+    return normalize_power(f, spec.relay_power)
+
+
 @dataclasses.dataclass
 class BeamformingTrainConfig:
     batch: int = 256

@@ -8,6 +8,7 @@ from rlsolver_tpu.models.attention_tsp import AttentionTSP
 from rlsolver_tpu.algos.am_pomo import (
     POMOConfig,
     augment_coords_x8,
+    beam_search,
     infer_pomo,
     init_pomo_state,
     make_pomo_step,
@@ -76,6 +77,22 @@ def test_augment_x8_preserves_tour_lengths():
     lens = np.asarray(tour_lengths(aug, perm))[:, 0].reshape(8, 2)
     # symmetries are isometries: identical tour lengths across the 8 variants
     np.testing.assert_allclose(lens, np.broadcast_to(lens[0], lens.shape), atol=1e-4)
+
+
+def test_beam_search_valid_and_not_worse_than_greedy_beam1():
+    model = small_model()
+    cfg = POMOConfig(num_cities=7, embed_dim=32, num_heads=2, num_layers=1)
+    opt, _ = make_pomo_step(model, cfg)
+    state = init_pomo_state(model, cfg, opt)
+    nodes = jax.random.uniform(jax.random.PRNGKey(6), (3, 7, 2))
+    tours4, len4 = beam_search(model, state.params, nodes, beam_width=4)
+    tours1, len1 = beam_search(model, state.params, nodes, beam_width=1)
+    for b in range(3):
+        assert sorted(np.asarray(tours4[b]).tolist()) == list(range(7))
+        assert int(tours4[b, 0]) == 0  # beams start at city 0
+    # wider beam can only help (beam-1 path is in the beam-4 frontier...
+    # not strictly guaranteed after pruning, allow tiny slack)
+    assert (np.asarray(len4) <= np.asarray(len1) + 1e-4).all()
 
 
 def test_infer_pomo_best_of_augmented():
