@@ -59,6 +59,28 @@ class MCPGConfig:
     sweep_mode: str = "sequential"  # "sequential" (parity) | "colored" (MXU)
 
 
+# Per-instance tuned presets (reference `MCPG.py:41-84`; the large variants
+# are the 40 GB-GPU settings, comfortable in 16 GB of TPU HBM).
+GSET_PRESETS = {
+    "gset_14": MCPGConfig(total_mcmc_num=512, repeat_times=128, num_ls=8,
+                          reset_epoch_num=128, max_epoch_num=30),
+    "gset_22": MCPGConfig(total_mcmc_num=2048, repeat_times=512, num_ls=8,
+                          reset_epoch_num=256, max_epoch_num=30),
+    "gset_55": MCPGConfig(total_mcmc_num=1024, repeat_times=448, num_ls=8,
+                          reset_epoch_num=192, max_epoch_num=30),
+    "gset_70": MCPGConfig(total_mcmc_num=768, repeat_times=288, num_ls=8,
+                          reset_epoch_num=320, max_epoch_num=30),
+}
+
+
+def preset_for(instance_name: str) -> MCPGConfig:
+    """Tuned config for a gset instance; default config otherwise."""
+    for key, cfg in GSET_PRESETS.items():
+        if key in instance_name:
+            return cfg
+    return MCPGConfig()
+
+
 class MCPGState(NamedTuple):
     params: dict
     opt_state: optax.OptState

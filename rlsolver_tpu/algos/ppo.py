@@ -71,6 +71,7 @@ class PPOConfig:
     vf_coef: float = 0.5
     max_grad_norm: float = 0.5
     seed: int = 0
+    start_str: Optional[str] = None  # base64 warm-start solution (`PPO.py:19-21`)
 
 
 class PPOTrainState(NamedTuple):
@@ -239,7 +240,14 @@ def init_ppo_state(
 ) -> PPOTrainState:
     key = jax.random.PRNGKey(cfg.seed)
     k_init, k_reset, key = jax.random.split(key, 3)
-    env_state, obs = env.reset(k_reset, num_envs)
+    start_bits = None
+    if cfg.start_str is not None:
+        from rlsolver_tpu.core.encode import SolutionCodec
+
+        start_bits = jnp.asarray(
+            SolutionCodec(env.num_nodes).str_to_bits(cfg.start_str)
+        )
+    env_state, obs = env.reset(k_reset, num_envs, start_bits=start_bits)
     params = model.init(k_init, obs)
     return PPOTrainState(
         params, optimizer.init(params), env_state, obs, key, jnp.int32(0)

@@ -15,7 +15,7 @@ normalized adjacency.
 
 from __future__ import annotations
 
-from typing import NamedTuple, Tuple
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -39,9 +39,22 @@ class FlipMdpEnv:
         self.horizon = horizon
         self.cg = cut_ops.CutGraph.build(graph, dtype=dtype)
 
-    def reset(self, key: jax.Array, num_envs: int) -> Tuple[FlipMdpState, jax.Array]:
-        xs = jax.random.bernoulli(key, 0.5, (num_envs, self.num_nodes))
-        xs = xs.at[:, 0].set(False)  # node-0 pin (`env_PPO.py:124-126`)
+    def reset(
+        self,
+        key: jax.Array,
+        num_envs: int,
+        start_bits: Optional[jax.Array] = None,
+    ) -> Tuple[FlipMdpState, jax.Array]:
+        """`start_bits` [N] warm-starts every env from a known solution
+        (the reference's `Config.start_str` base64 warm start,
+        `methods/PPO.py:19-21`); default is the random node-0-pinned init."""
+        if start_bits is not None:
+            xs = jnp.broadcast_to(
+                jnp.asarray(start_bits, bool)[None, :], (num_envs, self.num_nodes)
+            )
+        else:
+            xs = jax.random.bernoulli(key, 0.5, (num_envs, self.num_nodes))
+            xs = xs.at[:, 0].set(False)  # node-0 pin (`env_PPO.py:124-126`)
         cut = cut_ops.cut_value(xs, self.cg)
         state = FlipMdpState(xs, cut, jnp.int32(0))
         return state, self.observe(state)

@@ -83,6 +83,37 @@ def test_ppo_improves_cut():
     assert history[-1]["best_cut"] <= g.total_weight
 
 
+def test_ppo_warm_start_from_solution_string():
+    from rlsolver_tpu.core.encode import SolutionCodec
+    from rlsolver_tpu.algos.ppo import MLPActorCritic, init_ppo_state, make_ppo_iteration
+
+    g = graph_from_name("BA_24_ID1")
+    # warm start from a greedy solution encoded in base64
+    from rlsolver_tpu.classical.greedy import greedy_maxcut
+
+    bits, cut = greedy_maxcut(g)
+    s = SolutionCodec(24).bits_to_str(bits.astype(bool))
+    cfg = small_cfg(start_str=s)
+    env = FlipMdpEnv(g, horizon=cfg.horizon)
+    model = MLPActorCritic(24)
+    optimizer, _ = make_ppo_iteration(env, model, cfg)
+    state = init_ppo_state(env, model, optimizer, cfg, cfg.num_envs)
+    # every env starts at the decoded solution with its exact cut value
+    np.testing.assert_array_equal(
+        np.asarray(state.env_state.xs), np.broadcast_to(bits, (cfg.num_envs, 24))
+    )
+    np.testing.assert_allclose(np.asarray(state.env_state.cut), cut)
+
+
+def test_mcpg_gset_presets():
+    from rlsolver_tpu.algos.mcpg import GSET_PRESETS, preset_for
+
+    assert preset_for("data/gset/gset_22.txt").total_mcmc_num == 2048
+    assert preset_for("gset_70").reset_epoch_num == 320
+    assert preset_for("BA_100_ID0").total_mcmc_num == 256  # default
+    assert set(GSET_PRESETS) == {"gset_14", "gset_22", "gset_55", "gset_70"}
+
+
 def test_ppo_sharded_runs_and_aggregates():
     g = graph_from_name("BA_24_ID1")
     mesh = make_mesh(8)
