@@ -172,15 +172,69 @@ def run_one(alg: str, graph: Graph, seed: int, write: bool, instance_path: str):
     return value, duration, path
 
 
+def _tsp_solvers():
+    """TSP problem axis: `--data-dir` of .tsp files or random instances."""
+    from rlsolver_tpu.classical import tsp as ctsp
+
+    def chain(construct):
+        def solve(dist, seed):
+            import jax.numpy as jnp
+
+            tour = construct(dist)
+            tours, lengths = ctsp.two_opt_best_improvement(
+                jnp.asarray(tour[None]), jnp.asarray(dist), max_iters=200
+            )
+            return np.asarray(tours[0]), float(lengths[0])
+
+        return solve
+
+    return {
+        "nn": chain(ctsp.nearest_neighbor_tour),
+        "christofides": chain(ctsp.christofides_tour),
+        "karp_steele": chain(ctsp.karp_steele_tour),
+        "cheapest_insertion": chain(ctsp.cheapest_insertion_tour),
+    }
+
+
+def run_tsp(alg: str, path: str, seed: int) -> Tuple[float, float]:
+    from rlsolver_tpu.core.io import read_tsp_coords, tsp_distance_matrix
+
+    dist = tsp_distance_matrix(read_tsp_coords(path))
+    t0 = time.time()
+    tour, length = _tsp_solvers()[alg](dist, seed)
+    return length, time.time() - t0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="rlsolver_tpu", description=__doc__)
-    p.add_argument("--alg", required=True, choices=sorted(SOLVERS))
+    p.add_argument("--problem", default="maxcut", choices=["maxcut", "tsp"])
+    p.add_argument("--alg", required=True)
     p.add_argument("--data-dir", default=None, help="directory of gset-format txt files")
     p.add_argument("--prefixes", nargs="*", default=[], help="instance filename prefixes")
     p.add_argument("--graphs", nargs="*", default=[], help="synthetic names, e.g. BA_100_ID0")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--no-write", action="store_true", help="skip result files")
     args = p.parse_args(argv)
+
+    if args.problem == "tsp":
+        solvers = _tsp_solvers()
+        if args.alg not in solvers:
+            p.error(f"tsp algs: {sorted(solvers)}")
+        if not args.data_dir:
+            p.error("tsp needs --data-dir of .tsp files")
+        import glob as _glob
+
+        for f in sorted(_glob.glob(os.path.join(args.data_dir, "*.tsp"))):
+            if args.prefixes and not any(
+                os.path.basename(f).startswith(x) for x in args.prefixes
+            ):
+                continue
+            length, duration = run_tsp(args.alg, f, args.seed)
+            print(f"{args.alg} {os.path.basename(f)}: length={length:.1f} time={duration:.2f}s")
+        return 0
+
+    if args.alg not in SOLVERS:
+        p.error(f"maxcut algs: {sorted(SOLVERS)}")
 
     jobs = []
     if args.data_dir:

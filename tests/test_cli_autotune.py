@@ -43,6 +43,21 @@ def test_cli_data_dir_writes_results(tmp_path, monkeypatch):
     assert labels.shape == (24,)
 
 
+def test_cli_tsp_problem_axis(capsys):
+    import os as _os
+
+    if not _os.path.isdir("/root/reference/rlsolver/data/tsplib"):
+        pytest.skip("reference data not mounted")
+    rc = main(
+        ["--problem", "tsp", "--alg", "nn",
+         "--data-dir", "/root/reference/rlsolver/data/tsplib",
+         "--prefixes", "berlin"]
+    )
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "berlin52" in out and "length=" in out
+
+
 def test_run_one_objective_check(tmp_path):
     g = generate_graph(GraphType.ER, 20, seed=1, name="ER_20_ID1")
     value, duration, path = run_one("sa", g, seed=0, write=False, instance_path="x")
