@@ -149,9 +149,10 @@ def karp_steele_tour(dist: np.ndarray) -> np.ndarray:
                 b_arr = np.asarray(cb)
                 sa = np.roll(a_arr, -1)
                 sb = np.roll(b_arr, -1)
+                # merge cost of redirecting a->sa, b->sb into a->sb, b->sa
                 delta = (
                     dist[a_arr[:, None], sb[None, :]]
-                    + dist[b_arr[None, :], sa[:, None]].T.T
+                    + dist[b_arr[None, :], sa[:, None]]
                     - dist[a_arr, sa][:, None]
                     - dist[b_arr, sb][None, :]
                 )

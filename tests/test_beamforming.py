@@ -103,20 +103,16 @@ def test_relay_chain():
     np.testing.assert_allclose(heff, expect, atol=1e-4)
     rates = np.asarray(relay_sum_rate(h, f, g, spec))
     assert rates.shape == (16,) and np.isfinite(rates).all() and (rates > 0).all()
-    # a better amplification (matched to G's conjugate) should beat a bad one
-    f_bad = f.scale(0.0 * f.re + 1.0)  # same identity; compare against noise F
-    import jax as _jax
-
-    f_rand = CTensor(
-        _jax.random.normal(_jax.random.PRNGKey(7), f.re.shape) * 0.01,
-        _jax.random.normal(_jax.random.PRNGKey(8), f.re.shape) * 0.01,
+    # a random amplification matrix also yields a finite positive rate
+    f_rand = normalize_power(
+        CTensor(
+            jax.random.normal(jax.random.PRNGKey(7), f.re.shape),
+            jax.random.normal(jax.random.PRNGKey(8), f.re.shape),
+        ),
+        spec.relay_power,
     )
-    from rlsolver_tpu.problems.beamforming import normalize_power
-
-    f_rand = normalize_power(f_rand, spec.relay_power)
-    r_id = float(np.mean(np.asarray(relay_sum_rate(h, f, g, spec))))
-    r_rand = float(np.mean(np.asarray(relay_sum_rate(h, f_rand, g, spec))))
-    assert np.isfinite(r_rand)
+    r_rand = np.asarray(relay_sum_rate(h, f_rand, g, spec))
+    assert np.isfinite(r_rand).all() and (r_rand > 0).all()
 
 
 def test_policy_training_beats_mmse_start():
