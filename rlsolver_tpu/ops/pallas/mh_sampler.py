@@ -137,6 +137,118 @@ def mh_sample_pallas(
     return out > 0.5
 
 
+def pack_bits(bits: jax.Array) -> jax.Array:
+    """bool [B, N] -> little-endian int32 bit-words [B, ceil(N/32)]."""
+    b, n = bits.shape
+    w = (n + 31) // 32
+    x = jnp.pad(bits.astype(jnp.int32), ((0, 0), (0, w * 32 - n)))
+    weights = jnp.left_shift(jnp.int32(1), jnp.arange(32, dtype=jnp.int32))
+    return jnp.sum(x.reshape(b, w, 32) * weights, axis=-1, dtype=jnp.int32)
+
+
+def unpack_bits(words: jax.Array, n: int) -> jax.Array:
+    """int32 bit-words [B, W] -> bool [B, n] (inverse of `pack_bits`)."""
+    b, w = words.shape
+    shifts = jnp.arange(32, dtype=jnp.int32)
+    bits = jax.lax.shift_right_logical(words[:, :, None], shifts[None, None, :]) & 1
+    return bits.reshape(b, w * 32)[:, :n].astype(bool)
+
+
+def _mh_packed_kernel(nodes_ref, acc_ref, bits_ref, out_ref, *, rounds_chunk):
+    # Same grid/residency scheme as `_mh_kernel`, but chain state is 32x
+    # denser (bit-packed int32 words), so the per-proposal one-hot pass is
+    # over N/32 lanes instead of N.
+    r_step = pl.program_id(1)
+
+    @pl.when(r_step == 0)
+    def _():
+        out_ref[:] = bits_ref[:]
+
+    words0 = out_ref[:]  # [BLK, WPAD] int32
+    lane = jax.lax.broadcasted_iota(jnp.int32, words0.shape, 1)
+
+    def body(r, words):
+        node = nodes_ref[r, :]  # [BLK] int32
+        acc2 = acc_ref[r, :]  # [BLK] int32, bit c = accept given cur bit == c
+        word_i = jax.lax.shift_right_logical(node, 5)[:, None]  # [BLK, 1]
+        bitpos = (node & 31)[:, None]
+        hot = (lane == word_i).astype(jnp.int32)  # [BLK, WPAD]
+        cur_word = jnp.sum(words * hot, axis=1, keepdims=True)  # [BLK, 1]
+        cur = jax.lax.shift_right_logical(cur_word, bitpos) & 1
+        acc = jax.lax.shift_right_logical(acc2[:, None], cur) & 1
+        flip = jax.lax.shift_left(acc, bitpos)  # [BLK, 1]
+        return jax.lax.bitwise_xor(words, hot * flip)
+
+    out_ref[:] = jax.lax.fori_loop(0, rounds_chunk, body, words0)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("num_rounds", "block_chains", "rounds_chunk", "interpret"),
+)
+def mh_sample_packed(
+    key: jax.Array,
+    probs: jax.Array,
+    bits: jax.Array,
+    num_rounds: int,
+    block_chains: int = 128,
+    rounds_chunk: int = 128,
+    interpret: bool = False,
+) -> jax.Array:
+    """Bit-packed VMEM-resident MH sampler — bit-exact vs `mh_reference`.
+
+    Chains live as int32 bit-words (32 nodes per lane), so one proposal
+    round costs O(B * N/32) int ops instead of O(B * N) f32 ops, and the
+    whole [B, N/32] state block stays resident in VMEM across all rounds.
+    The accept tests are hoisted to XLA: for each (round, chain) both
+    conditional outcomes `accept | cur_bit = c` are precomputed from
+    (probs[node], u) and streamed in as a 2-bit table, leaving the kernel a
+    pure bit-lookup/xor loop. Accept rule and randomness stream are
+    identical to `mh_reference` / `metro_sampling` (`MCPG.py:88-118`).
+    """
+    b, n = bits.shape
+    if b % block_chains != 0:
+        raise ValueError(f"chains {b} not a multiple of block {block_chains}")
+    rounds_chunk = min(rounds_chunk, num_rounds)
+    if num_rounds % rounds_chunk != 0:
+        raise ValueError(f"rounds {num_rounds} not a multiple of {rounds_chunk}")
+    nodes, u = make_round_randoms(key, num_rounds, b, n)
+    p = probs.astype(jnp.float32)[nodes]  # [R, B]
+    a1 = (u * p < (1.0 - p)).astype(jnp.int32)  # accept when cur bit == 1 (q = p)
+    a0 = (u * (1.0 - p) < p).astype(jnp.int32)  # accept when cur bit == 0 (q = 1-p)
+    acc2 = a0 | jax.lax.shift_left(a1, 1)
+    words = pack_bits(bits)
+    w = words.shape[1]
+    wpad = max(128, ((w + 127) // 128) * 128)
+    words = jnp.pad(words, ((0, 0), (0, wpad - w)))
+
+    out = pl.pallas_call(
+        functools.partial(_mh_packed_kernel, rounds_chunk=rounds_chunk),
+        out_shape=jax.ShapeDtypeStruct((b, wpad), jnp.int32),
+        grid=(b // block_chains, num_rounds // rounds_chunk),
+        in_specs=[
+            pl.BlockSpec(
+                (rounds_chunk, block_chains),
+                lambda i, r: (r, i),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (rounds_chunk, block_chains),
+                lambda i, r: (r, i),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (block_chains, wpad), lambda i, r: (i, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (block_chains, wpad), lambda i, r: (i, 0), memory_space=pltpu.VMEM
+        ),
+        interpret=interpret,
+    )(nodes, acc2, words)
+    return unpack_bits(out[:, :w], n)
+
+
 @functools.partial(jax.jit, static_argnames=("num_rounds",))
 def mh_reference(
     key: jax.Array, probs: jax.Array, bits: jax.Array, num_rounds: int

@@ -8,7 +8,10 @@ import numpy as np
 from rlsolver_tpu.ops.pallas.mh_sampler import (
     make_round_randoms,
     mh_reference,
+    mh_sample_packed,
     mh_sample_pallas,
+    pack_bits,
+    unpack_bits,
 )
 
 
@@ -34,6 +37,26 @@ def test_pallas_mh_stationary_distribution():
     )
     mean = np.asarray(out).mean(axis=0)
     np.testing.assert_allclose(mean, np.asarray(probs), atol=0.08)
+
+
+def test_pack_unpack_roundtrip():
+    for n in (1, 31, 32, 33, 300, 2000):
+        bits = jax.random.bernoulli(jax.random.PRNGKey(n), 0.5, (16, n))
+        words = pack_bits(bits)
+        assert words.shape == (16, (n + 31) // 32)
+        np.testing.assert_array_equal(np.asarray(unpack_bits(words, n)), np.asarray(bits))
+
+
+def test_packed_bit_exact_vs_xla_twin():
+    key = jax.random.PRNGKey(11)
+    # N spanning multiple words, including the bitpos=31 sign-bit edge
+    probs = jax.random.uniform(jax.random.fold_in(key, 1), (71,), minval=0.1, maxval=0.9)
+    bits = jax.random.bernoulli(jax.random.fold_in(key, 2), 0.5, (256, 71))
+    out_packed = mh_sample_packed(
+        key, probs, bits, num_rounds=128, block_chains=128, interpret=True
+    )
+    out_xla = mh_reference(key, probs, bits, num_rounds=128)
+    np.testing.assert_array_equal(np.asarray(out_packed), np.asarray(out_xla))
 
 
 def test_round_randoms_shapes():
