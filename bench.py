@@ -2,9 +2,11 @@
 
 Workload (matches BASELINE.json config 2): 8192 parallel Pattern-II QUBO
 envs on a 2000-node / 19990-edge Gset-class graph, running the policy-
-targeted random-flip MCMC rollout (MCPG's `metro_sampling` semantics) fused
-into one jitted scan, with a full objective evaluation per sampling round.
-One env-step = one MCMC proposal round applied to one env.
+targeted random-flip MCMC rollout (MCPG's `metro_sampling` semantics) as
+the bit-packed Pallas kernel with on-core PRNG
+(`ops/pallas/mh_sampler.py:mh_sample_fused`), with a full objective
+evaluation per jit call. One env-step = one MCMC proposal round applied to
+one env.
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "env-steps/s", "vs_baseline": N/1e7}
@@ -35,7 +37,7 @@ def build_g22_like():
 
 def main():
     from rlsolver_tpu.envs.maxcut import MaxcutEnv
-    from rlsolver_tpu.ops.sampling import metropolis_bitflip_scan
+    from rlsolver_tpu.ops.pallas.mh_sampler import mh_sample_fused
     from rlsolver_tpu.problems.objectives import obj_maxcut
 
     num_envs = 8192
@@ -48,27 +50,27 @@ def main():
     probs = jnp.full((graph.num_nodes,), 0.5, jnp.float32)
 
     @jax.jit
-    def rollout(key, xs):
-        k1, k2 = jax.random.split(key)
-        xs = metropolis_bitflip_scan(k1, probs, xs, rounds_per_call)
+    def rollout(seed, xs):
+        # bit-packed MH kernel with on-core PRNG (ops/pallas/mh_sampler.py)
+        xs = mh_sample_fused(seed, probs, xs, rounds_per_call, block_chains=2048)
         vs = env.obj(xs)
         return xs, vs
 
     # Warmup / compile.
-    xs, vs = rollout(key, xs)
+    xs, vs = rollout(jnp.int32(0), xs)
     vs.block_until_ready()
 
     # Correctness guard: device objective == host objective on one sample.
     host_v = obj_maxcut(np.asarray(xs[0]).astype(int), graph)
     assert float(vs[0]) == host_v, f"objective mismatch {float(vs[0])} != {host_v}"
 
-    # Timed steady-state.
-    num_calls = 8
+    # Timed steady-state (calls are chained through xs; the final scalar
+    # read below forces execution of the whole chain).
+    num_calls = 32
     t0 = time.time()
     for i in range(num_calls):
-        key, k = jax.random.split(key)
-        xs, vs = rollout(k, xs)
-    vs.block_until_ready()
+        xs, vs = rollout(jnp.int32(i + 1), xs)
+    float(vs[0])
     elapsed = time.time() - t0
 
     env_steps = num_calls * rounds_per_call * num_envs

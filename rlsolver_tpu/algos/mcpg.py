@@ -57,6 +57,11 @@ class MCPGConfig:
     warmup_ls_rounds: int = 4  # incumbent warm start via parallel local search
     seed: int = 0
     sweep_mode: str = "sequential"  # "sequential" (parity) | "colored" (MXU)
+    # | "packed" (bit-packed Pallas kernel with on-core PRNG; TPU-only,
+    #   unit-weight graphs — ~941M node-updates/s at G22-class shapes)
+    sampler: str = "budgeted"  # "budgeted" (reference-parity accept budget) |
+    # "fused" (bit-packed Pallas kernel with on-core PRNG, TPU-only; runs a
+    # fixed 2 * change_times proposal rounds instead of the accept budget)
 
 
 # Per-instance tuned presets (reference `MCPG.py:41-84`; the large variants
@@ -95,12 +100,32 @@ def _build_steps(env: MaxcutEnv, data: SweepData, cfg: MCPGConfig):
     change_times = cfg.change_times or max(1, num_nodes // 10)
     policy = BernoulliPolicy(num_nodes)
     optimizer = optax.chain(optax.clip_by_global_norm(1.0), optax.adam(cfg.lr))
+    if cfg.sweep_mode == "packed":
+        from rlsolver_tpu.ops.pallas.mcpg_sweep import PackedSweepTables
+
+        packed_tables = PackedSweepTables.build(env.graph)
 
     def sample_step(key, probs, start_bits):
         """start_bits bool [R*C, N] -> (mh_samples, ls_bits, cuts [R*C])."""
         k_mh, k_ls = jax.random.split(key)
-        mh = metropolis_bitflip_chain(k_mh, probs, start_bits, change_times).samples
-        if cfg.sweep_mode == "sequential":
+        if cfg.sampler == "fused":
+            from rlsolver_tpu.ops.pallas.mh_sampler import mh_sample_fused
+
+            seed = jax.random.randint(k_mh, (), 0, jnp.iinfo(jnp.int32).max)
+            rounds = max(cfg.num_ls, 2 * change_times)
+            blk = 512 if start_bits.shape[0] % 512 == 0 else start_bits.shape[0]
+            mh = mh_sample_fused(seed, probs, start_bits, rounds, block_chains=blk)
+        else:
+            mh = metropolis_bitflip_chain(k_mh, probs, start_bits, change_times).samples
+        if cfg.sweep_mode == "packed":
+            from rlsolver_tpu.ops.pallas.mcpg_sweep import mcpg_sweep_fused
+
+            seed = jax.random.randint(k_ls, (), 0, jnp.iinfo(jnp.int32).max)
+            blk = 512 if mh.shape[0] % 512 == 0 else mh.shape[0]
+            ls_bits = mcpg_sweep_fused(
+                seed, mh, packed_tables, num_sweeps=cfg.num_ls, block_chains=blk
+            )
+        elif cfg.sweep_mode == "sequential":
             xt = mcpg_init_values(mh)
             xt = degree_ordered_sweep(k_ls, xt, data, num_sweeps=cfg.num_ls)
             ls_bits = xt[:, :num_nodes] > 0.5

@@ -28,8 +28,8 @@ from `spinsystem_PECO.py:430-470`):
 Rewards (reference `spinsystem_PECO.py:370-405`): BLS (default),
 CUSTOM_BLS, DENSE, SINGLE; optional /N normalization; optional basin reward
 (local optimum & new state) and stagnation punishment (revisited state).
-The reference's finite `memory_length` mode is not implemented (its own
-default is None = infinite memory, which is what this provides).
+`memory_length` bounds the revisit memory to the last H visited states
+(reference `HistoryBuffer(memory_length)`); None = whole episode.
 """
 
 from __future__ import annotations
@@ -74,6 +74,7 @@ class SpinSystemConfig:
     reversible_spins: bool = True  # False = S2V-style irreversible
     num_observables: int = NUM_OBSERVABLES_ECO
     horizon_length: Optional[int] = None  # None -> max_steps
+    memory_length: Optional[int] = None  # revisit memory; None = full episode
 
 
 class SpinSystemParams(NamedTuple):
@@ -108,7 +109,9 @@ class SpinSystemEnv:
         self.config = config
         self.max_steps = config.max_steps or 2 * num_nodes
         self.horizon = config.horizon_length or self.max_steps
-        self.history_capacity = self.max_steps + 1
+        # ring slots: finite memory keeps only the last `memory_length`
+        # hashes (the modular slot write below overwrites the oldest)
+        self.history_capacity = config.memory_length or (self.max_steps + 1)
 
     # ---------------------------------------------------------------- params
     def params_from_graph(self, graph: Graph, hash_seed: int = 0) -> SpinSystemParams:

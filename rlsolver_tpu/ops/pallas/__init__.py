@@ -1,15 +1,45 @@
 """Pallas TPU kernels for the hot sampling loops.
 
-`mh_sampler` is the fused VMEM-resident Metropolis-Hastings bit-flip
-sampler (bit-exact against its XLA twin; see its module docstring for the
-measured tradeoff vs `rlsolver_tpu.ops.sampling.metropolis_bitflip_scan`,
-which remains the production default on v5e).
+`mh_sampler` holds the Metropolis-Hastings bit-flip sampler family: the
+f32 VMEM-resident kernel, the bit-packed variants, and the production
+`mh_sample_fused` (bit-packed chains + on-core PRNG + MXU threshold
+lookup, ~18x the XLA scan at G22-class shapes — see the module docstring
+for measured numbers). The injected-randomness variants are bit-exact
+against their XLA twins and run under interpret mode on CPU.
 """
 
+from rlsolver_tpu.ops.pallas.mcpg_sweep import (
+    PackedSweepTables,
+    mcpg_sweep_fused,
+    mcpg_sweep_packed,
+    mcpg_sweep_reference,
+)
 from rlsolver_tpu.ops.pallas.mh_sampler import (
+    make_proposal_stream,
     make_round_randoms,
     mh_reference,
+    mh_reference_stream,
+    mh_sample_fused,
+    mh_sample_packed,
     mh_sample_pallas,
+    mh_sample_stream,
+    pack_bits,
+    unpack_bits,
 )
 
-__all__ = ["make_round_randoms", "mh_reference", "mh_sample_pallas"]
+__all__ = [
+    "PackedSweepTables",
+    "mcpg_sweep_fused",
+    "mcpg_sweep_packed",
+    "mcpg_sweep_reference",
+    "make_proposal_stream",
+    "make_round_randoms",
+    "mh_reference",
+    "mh_reference_stream",
+    "mh_sample_fused",
+    "mh_sample_packed",
+    "mh_sample_pallas",
+    "mh_sample_stream",
+    "pack_bits",
+    "unpack_bits",
+]

@@ -1,0 +1,360 @@
+"""MCPG's degree-ordered sequential sweep as a bit-packed Pallas TPU kernel.
+
+The sampler's inner loop (`sampler_func`, reference
+`rlsolver/methods/MCPG.py:120-166`) visits nodes in descending-degree order
+and sets x_i to the anti-majority of its neighbors' current values, with the
+first sweep's mixed value domain: already-processed nodes contribute their
+{0, 1} bit, unprocessed ones contribute 2x - 0.5 in {-0.5, 1.5}
+(`MCPG.py:131-141`). The XLA formulation
+(`rlsolver_tpu.ops.sweeps.degree_ordered_sweep`) is a `lax.scan` of padded
+neighbor gathers over the [B, N+1] f32 state.
+
+This kernel exploits that everything in the sweep is derivable from the
+current *bits*: pack chains to int32 words ([BLK, N/32] resident in VMEM)
+and precompute, per sweep step k (node i = order[k]),
+
+  * m_proc[k]   — neighbors of i earlier in the order (already rewritten),
+  * m_unproc[k] — neighbors of i later in the order (still original),
+
+as static bit masks. The neighbor sum of the mixed domain is then
+
+  nbr_sum = popcount(x & m_proc) + 2 * popcount(x & m_unproc) - 0.5 * U_k
+
+with U_k = |m_unproc[k]| static, so the accept test
+`nbr_sum + u * ns < (wdeg + ns) / 2` becomes a popcount compare against the
+precomputed threshold thr1[k] = (wdeg_i + ns)/2 + 0.5 * U_k. Sweeps >= 2
+see an all-{0,1} state and use m_all = m_proc | m_unproc with
+thr2[k] = (wdeg_i + ns)/2. Restricted to unit-weight graphs (the gset/syn
+instances MCPG targets); weighted graphs fall back to the XLA sweep.
+
+All f32 quantities involved are exact (integers and halves), so the
+injected-noise variant is bit-exact against its XLA twin
+(`mcpg_sweep_reference`, tested in interpret mode), and the twin with zero
+noise is provably identical to `degree_ordered_sweep(noise_scale=0)`
+(tested). The production variant draws u16 noise from the on-core PRNG
+(TPU-only, like `mh_sample_fused`).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from rlsolver_tpu.core.graph import Graph
+from rlsolver_tpu.ops.pallas.mh_sampler import pack_bits, unpack_bits
+
+
+class PackedSweepTables(NamedTuple):
+    """Static per-instance tables, in sweep (descending-degree) order."""
+
+    nodes: jax.Array  # [N] int32 node ids (sweep order)
+    m_proc: jax.Array  # [N, WPAD] int32 earlier-neighbor masks (sweep 1)
+    m_unproc: jax.Array  # [N, WPAD] int32 later-neighbor masks (sweep 1)
+    m_all: jax.Array  # [N, WPAD] int32 all-neighbor masks (sweeps >= 2)
+    thr1: jax.Array  # [N] f32 first-sweep thresholds
+    thr2: jax.Array  # [N] f32 later-sweep thresholds
+
+    @property
+    def num_nodes(self) -> int:
+        return self.nodes.shape[0]
+
+    @property
+    def wpad(self) -> int:
+        return self.m_proc.shape[1]
+
+    @staticmethod
+    def build(graph: Graph) -> "PackedSweepTables":
+        n = graph.num_nodes
+        adj = np.asarray(graph.adjacency_dense())
+        if not np.all((adj == 0) | (adj == 1)):
+            raise ValueError("packed sweep requires a unit-weight graph")
+        a = adj.astype(bool)
+        order = np.asarray(graph.degree_sorted_nodes(descending=True))
+        pos = np.empty(n, np.int64)
+        pos[order] = np.arange(n)
+        a_ord = a[order]  # [N steps, N nodes]
+        earlier = pos[None, :] < np.arange(n)[:, None]  # [N, N]
+        m_proc_b = a_ord & earlier
+        m_all_b = a_ord
+        m_unproc_b = a_ord & ~earlier
+        # nodes are never their own neighbors (no self loops in Graph)
+        u_cnt = m_unproc_b.sum(axis=1).astype(np.float64)
+        wdeg = np.asarray(graph.weighted_degrees())[order].astype(np.float64)
+        # noise-free thresholds; the runtime adds noise_scale / 2
+        base = wdeg / 2.0
+        w = (n + 31) // 32
+        wpad = max(128, -(-w // 128) * 128)
+
+        def pack(rows: np.ndarray) -> np.ndarray:
+            padded = np.zeros((rows.shape[0], wpad * 32), bool)
+            padded[:, :n] = rows
+            bits = padded.reshape(rows.shape[0], wpad, 32)
+            weights = (1 << np.arange(32, dtype=np.int64))[None, None, :]
+            words = (bits * weights).sum(axis=2)
+            return (words & 0xFFFFFFFF).astype(np.uint32).view(np.int32)
+
+        return PackedSweepTables(
+            nodes=jnp.asarray(order.astype(np.int32)),
+            m_proc=jnp.asarray(pack(m_proc_b)),
+            m_unproc=jnp.asarray(pack(m_unproc_b)),
+            m_all=jnp.asarray(pack(m_all_b)),
+            thr1=jnp.asarray((base + 0.5 * u_cnt).astype(np.float32)),
+            thr2=jnp.asarray(base.astype(np.float32)),
+        )
+
+
+def _sweep_body(words, lane, node, m_a, m_b, two_b, u_term, thr):
+    """One node update. words [BLK, WPAD]; node scalar; masks [1, WPAD];
+    u_term [BLK, 1] f32 (noise * scale, already scaled); thr scalar f32."""
+    pc_a = jnp.sum(
+        jax.lax.population_count(words & m_a), axis=1, keepdims=True
+    ).astype(jnp.float32)
+    pc_b = jnp.sum(
+        jax.lax.population_count(words & m_b), axis=1, keepdims=True
+    ).astype(jnp.float32)
+    nbr = pc_a + two_b * pc_b
+    new_bit = ((nbr + u_term) < thr).astype(jnp.int32)  # [BLK, 1]
+    word_i = jax.lax.shift_right_logical(node, 5)
+    bitmask = jax.lax.shift_left(1, node & 31)
+    hot = (lane == word_i).astype(jnp.int32)  # [BLK, WPAD]
+    cleared = words & ~(hot * bitmask)
+    return cleared | (hot * (new_bit * bitmask))
+
+
+def _mcpg_sweep_kernel(
+    seed_ref,
+    nodes_ref,
+    thr1_ref,
+    thr2_ref,
+    mp_ref,
+    mu_ref,
+    ma_ref,
+    noise_ref,
+    bits_ref,
+    out_ref,
+    *,
+    num_sweeps,
+    noise_scale,
+    use_prng,
+):
+    num_nodes = nodes_ref.shape[0]
+    i_blk = pl.program_id(0)
+    if use_prng:
+        pltpu.prng_seed(seed_ref[0], i_blk)
+
+    out_ref[:] = bits_ref[:]
+    words0 = out_ref[:]
+    blk = words0.shape[0]
+    lane = jax.lax.broadcasted_iota(jnp.int32, words0.shape, 1)
+    scale = jnp.float32(noise_scale / 65536.0)
+    half_ns = jnp.float32(noise_scale / 2.0)
+
+    def u_term(s, k):
+        if use_prng:
+            rnd = jax.lax.bitcast_convert_type(
+                pltpu.prng_random_bits((blk, 1)), jnp.int32
+            )
+            return (rnd & 0xFFFF).astype(jnp.float32) * scale
+        return noise_ref[s * num_nodes + k, :][:, None].astype(jnp.float32) * scale
+
+    def first_sweep_step(k, words):
+        node = nodes_ref[k]
+        m_p = mp_ref[pl.ds(k, 1), :]
+        m_u = mu_ref[pl.ds(k, 1), :]
+        return _sweep_body(
+            words, lane, node, m_p, m_u, 2.0, u_term(0, k), thr1_ref[k] + half_ns
+        )
+
+    def later_step(sk, words):
+        s = sk // num_nodes
+        k = sk % num_nodes
+        node = nodes_ref[k]
+        m_a = ma_ref[pl.ds(k, 1), :]
+        return _sweep_body(
+            words, lane, node, m_a, m_a, 0.0, u_term(s, k), thr2_ref[k] + half_ns
+        )
+
+    words = jax.lax.fori_loop(0, num_nodes, first_sweep_step, words0)
+    words = jax.lax.fori_loop(
+        num_nodes, num_sweeps * num_nodes, later_step, words
+    )
+    out_ref[:] = words
+
+
+def _sweep_call(
+    tables: PackedSweepTables,
+    bits: jax.Array,
+    seed: jax.Array,
+    noise_u16: jax.Array,
+    num_sweeps: int,
+    noise_scale: float,
+    block_chains: int,
+    use_prng: bool,
+    interpret: bool,
+) -> jax.Array:
+    b, n = bits.shape
+    if n != tables.num_nodes:
+        raise ValueError(f"bits have {n} nodes, tables built for {tables.num_nodes}")
+    if b % block_chains != 0:
+        raise ValueError(f"chains {b} not a multiple of block {block_chains}")
+    wpad = tables.wpad
+    words = pack_bits(bits)
+    w = words.shape[1]
+    words = jnp.pad(words, ((0, 0), (0, wpad - w)))
+
+    mask_spec = pl.BlockSpec((n, wpad), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    noise_rows = noise_u16.shape[0]  # 1 (prng dummy) or num_sweeps * n
+    noise_spec = pl.BlockSpec(
+        (noise_rows, block_chains), lambda i: (0, i), memory_space=pltpu.VMEM
+    )
+    out = pl.pallas_call(
+        functools.partial(
+            _mcpg_sweep_kernel,
+            num_sweeps=num_sweeps,
+            noise_scale=noise_scale,
+            use_prng=use_prng,
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, wpad), jnp.int32),
+        grid=(b // block_chains,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # seed
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # nodes
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # thr1
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # thr2
+            mask_spec,
+            mask_spec,
+            mask_spec,
+            noise_spec,  # injected noise ([1, B] dummy when use_prng)
+            pl.BlockSpec(
+                (block_chains, wpad), lambda i: (i, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (block_chains, wpad), lambda i: (i, 0), memory_space=pltpu.VMEM
+        ),
+        interpret=interpret,
+    )(
+        jnp.atleast_1d(seed).astype(jnp.int32),
+        tables.nodes,
+        tables.thr1,
+        tables.thr2,
+        tables.m_proc,
+        tables.m_unproc,
+        tables.m_all,
+        noise_u16,
+        words,
+    )
+    return unpack_bits(out[:, :w], n)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("num_sweeps", "noise_scale", "block_chains", "interpret"),
+)
+def mcpg_sweep_packed(
+    noise_u16: jax.Array,
+    bits: jax.Array,
+    tables: PackedSweepTables,
+    num_sweeps: int = 1,
+    noise_scale: float = 0.25,
+    block_chains: int = 512,
+    interpret: bool = False,
+) -> jax.Array:
+    """Injected-noise variant (CI-testable). noise_u16: int32 in [0, 65536)
+    of shape [num_sweeps * N, B]; bits: bool [B, N]. Bit-exact vs
+    `mcpg_sweep_reference`."""
+    return _sweep_call(
+        tables,
+        bits,
+        jnp.int32(0),
+        noise_u16,
+        num_sweeps,
+        noise_scale,
+        block_chains,
+        use_prng=False,
+        interpret=interpret,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("num_sweeps", "noise_scale", "block_chains"),
+)
+def mcpg_sweep_fused(
+    seed: jax.Array,
+    bits: jax.Array,
+    tables: PackedSweepTables,
+    num_sweeps: int = 1,
+    noise_scale: float = 0.25,
+    block_chains: int = 512,
+) -> jax.Array:
+    """Production variant: u16 noise from the on-core PRNG (TPU-only)."""
+    dummy = jnp.zeros((1, bits.shape[0]), jnp.int32)
+    return _sweep_call(
+        tables,
+        bits,
+        seed,
+        dummy,
+        num_sweeps,
+        noise_scale,
+        block_chains,
+        use_prng=True,
+        interpret=False,
+    )
+
+
+def mcpg_sweep_reference(
+    noise_u16: jax.Array,
+    bits: jax.Array,
+    tables: PackedSweepTables,
+    graph: Graph,
+    num_sweeps: int = 1,
+    noise_scale: float = 0.25,
+) -> jax.Array:
+    """XLA twin mirroring the kernel's exact arithmetic (popcount form),
+    consuming the same injected u16 noise. bits: bool [B, N] -> bool [B, N].
+    """
+    n = tables.num_nodes
+    adj = jnp.asarray(np.asarray(graph.adjacency_dense()) != 0)  # bool [N, N]
+    order = tables.nodes
+    a_ord = adj[order]  # [N, N] in sweep order
+    pos = jnp.zeros((n,), jnp.int32).at[order].set(jnp.arange(n, dtype=jnp.int32))
+    earlier = pos[None, :] < jnp.arange(n, dtype=jnp.int32)[:, None]
+    m_proc = a_ord & earlier
+    m_unproc = a_ord & ~earlier
+    scale = jnp.float32(noise_scale / 65536.0)
+    half_ns = jnp.float32(noise_scale / 2.0)
+
+    x = bits.astype(jnp.int32)
+
+    def step(x, inp):
+        node, mp, mu, ma, thr1, thr2, u, is_first = inp
+        pc_p = jnp.sum(x * mp.astype(jnp.int32)[None, :], axis=1).astype(jnp.float32)
+        pc_u = jnp.sum(x * mu.astype(jnp.int32)[None, :], axis=1).astype(jnp.float32)
+        pc_a = jnp.sum(x * ma.astype(jnp.int32)[None, :], axis=1).astype(jnp.float32)
+        nbr = jnp.where(is_first, pc_p + 2.0 * pc_u, pc_a + 0.0 * pc_a)
+        thr = jnp.where(is_first, thr1, thr2) + half_ns
+        u_term = u.astype(jnp.float32) * scale
+        new_bit = ((nbr + u_term) < thr).astype(jnp.int32)
+        return x.at[:, node].set(new_bit), None
+
+    s_idx = jnp.repeat(jnp.arange(num_sweeps), n)
+    k_idx = jnp.tile(jnp.arange(n), num_sweeps)
+    seq = (
+        jnp.tile(order, num_sweeps),
+        m_proc[k_idx],
+        m_unproc[k_idx],
+        a_ord[k_idx],
+        jnp.tile(tables.thr1, num_sweeps),
+        jnp.tile(tables.thr2, num_sweeps),
+        noise_u16,
+        s_idx == 0,
+    )
+    x, _ = jax.lax.scan(step, x, seq)
+    return x > 0

@@ -1,0 +1,72 @@
+"""Bit-packed MCPG sweep kernel: bit-exact parity with the XLA twin
+(interpret mode) and zero-noise equivalence with the production
+`degree_ordered_sweep`."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rlsolver_tpu.core.generate import graph_from_name
+from rlsolver_tpu.ops.pallas.mcpg_sweep import (
+    PackedSweepTables,
+    mcpg_sweep_packed,
+    mcpg_sweep_reference,
+)
+from rlsolver_tpu.ops.sweeps import SweepData, degree_ordered_sweep, mcpg_init_values
+
+
+@pytest.fixture(scope="module", params=["BA_100_ID0", "ER_64_ID1"])
+def setup(request):
+    g = graph_from_name(request.param)
+    return g, PackedSweepTables.build(g)
+
+
+def test_packed_sweep_bit_exact_vs_twin(setup):
+    g, tables = setup
+    B, N, S = 128, g.num_nodes, 3
+    bits = jax.random.bernoulli(jax.random.PRNGKey(0), 0.5, (B, N))
+    noise = jax.random.randint(jax.random.PRNGKey(1), (S * N, B), 0, 65536, jnp.int32)
+    ref = mcpg_sweep_reference(noise, bits, tables, g, num_sweeps=S)
+    out = mcpg_sweep_packed(
+        noise, bits, tables, num_sweeps=S, block_chains=128, interpret=True
+    )
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+
+def test_twin_equals_xla_sweep_at_zero_noise(setup):
+    # with zero noise every quantity is an exact f32 integer/half, so the
+    # popcount formulation is provably identical to the gather formulation
+    g, tables = setup
+    B, N = 64, g.num_nodes
+    bits = jax.random.bernoulli(jax.random.PRNGKey(2), 0.5, (B, N))
+    zero = jnp.zeros((2 * N, B), jnp.int32)
+    ref0 = mcpg_sweep_reference(zero, bits, tables, g, num_sweeps=2, noise_scale=0.0)
+    data = SweepData.build(g)
+    xt = degree_ordered_sweep(
+        jax.random.PRNGKey(3), mcpg_init_values(bits), data, num_sweeps=2,
+        noise_scale=0.0,
+    )
+    np.testing.assert_array_equal(np.asarray(ref0), np.asarray(xt[:, :N] > 0.5))
+
+
+def test_sweep_improves_objective(setup):
+    from rlsolver_tpu.envs.maxcut import MaxcutEnv
+
+    g, tables = setup
+    env = MaxcutEnv(g)
+    B, N = 128, g.num_nodes
+    bits = jax.random.bernoulli(jax.random.PRNGKey(4), 0.5, (B, N))
+    noise = jax.random.randint(jax.random.PRNGKey(5), (2 * N, B), 0, 65536, jnp.int32)
+    out = mcpg_sweep_packed(
+        noise, bits, tables, num_sweeps=2, block_chains=128, interpret=True
+    )
+    assert float(jnp.mean(env.obj(out))) > float(jnp.mean(env.obj(bits)))
+
+
+def test_weighted_graph_rejected():
+    from rlsolver_tpu.core.graph import Graph
+
+    g = Graph.from_edge_list(3, [(0, 1, 2.0), (1, 2, 1.0)], name="w")
+    with pytest.raises(ValueError, match="unit-weight"):
+        PackedSweepTables.build(g)

@@ -7,9 +7,12 @@ import numpy as np
 
 from rlsolver_tpu.ops.pallas.mh_sampler import (
     make_round_randoms,
+    make_proposal_stream,
     mh_reference,
+    mh_reference_stream,
     mh_sample_packed,
     mh_sample_pallas,
+    mh_sample_stream,
     pack_bits,
     unpack_bits,
 )
@@ -57,6 +60,38 @@ def test_packed_bit_exact_vs_xla_twin():
     )
     out_xla = mh_reference(key, probs, bits, num_rounds=128)
     np.testing.assert_array_equal(np.asarray(out_packed), np.asarray(out_xla))
+
+
+def test_stream_bit_exact_vs_xla_twin():
+    key = jax.random.PRNGKey(21)
+    probs = jax.random.uniform(jax.random.fold_in(key, 1), (97,), minval=0.05, maxval=0.95)
+    bits = jax.random.bernoulli(jax.random.fold_in(key, 2), 0.5, (512, 97))
+    out = mh_sample_stream(key, probs, bits, num_rounds=128, interpret=True)
+    ref = mh_reference_stream(key, probs, bits, num_rounds=128)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+
+def test_stream_stationary_distribution():
+    # quantized (u16) accept tables + fixed-point site pick must still target
+    # Bernoulli(probs): site choice is state-independent so any selection
+    # distribution preserves the product stationary measure
+    probs = jnp.asarray([0.3, 0.5, 0.7, 0.4, 0.6, 0.5, 0.2, 0.8])
+    bits = jax.random.bernoulli(jax.random.PRNGKey(3), 0.5, (2048, 8))
+    out = mh_reference_stream(jax.random.PRNGKey(4), probs, bits, 512)
+    np.testing.assert_allclose(
+        np.asarray(out).mean(axis=0), np.asarray(probs), atol=0.06
+    )
+
+
+def test_proposal_stream_packing():
+    probs = jnp.full((70,), 0.5)
+    stream = make_proposal_stream(jax.random.PRNGKey(5), 16, 64, probs)
+    s = np.asarray(stream)
+    word = s >> 7
+    bitpos = (s >> 2) & 31
+    node = (word << 5) | bitpos
+    assert (node >= 0).all() and (node < 70).all()
+    assert ((s & 3) <= 3).all()
 
 
 def test_round_randoms_shapes():

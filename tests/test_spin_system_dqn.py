@@ -164,3 +164,37 @@ def test_dqn_smoke_train(small_graphs):
     score = agent.evaluate(params, g)
     # greedy rollout must at least reach a decent cut (random ~ m/2 = 62)
     assert score >= obj_maxcut(np.zeros(32, int), g) and score > 62
+
+
+def test_finite_memory_length_forgets(small_graphs):
+    """With memory_length=2 a state visited long ago is forgotten (no
+    stagnation punishment on revisit); with infinite memory it is punished.
+    Reference HistoryBuffer(memory_length), util_envs_PECO.py:228-."""
+    g = small_graphs["BA_32"]
+    punish = 0.5
+
+    def run(memory_length):
+        cfg = SpinSystemConfig(
+            num_envs=2,
+            stag_punishment=punish,
+            norm_rewards=False,
+            memory_length=memory_length,
+        )
+        env = SpinSystemEnv(g.num_nodes, cfg)
+        params = env.params_from_graph(g)
+        state, _ = env.reset(params, jax.random.PRNGKey(0))
+        # visit: init -> A -> init -> B -> C -> B -> A(revisit of step-1 state)
+        rews = []
+        for a in (3, 3, 5, 7, 7, 5):
+            acts = jnp.full((2,), a, jnp.int32)
+            state, _, rew, _ = env.step(params, state, acts)
+            rews.append(np.asarray(rew))
+        return rews
+
+    rews_inf = run(None)
+    rews_fin = run(2)
+    # identical trajectories -> same rewards except where memory differs
+    # step index 5 returns to the step-1 state: punished only with full memory
+    np.testing.assert_allclose(rews_fin[5] - rews_inf[5], punish)
+    # step index 2 returns to the immediately-previous state: punished in both
+    np.testing.assert_allclose(rews_fin[2], rews_inf[2])
