@@ -53,6 +53,8 @@ class MultiMCPGConfig:
     mh_steps_per_var: float = 0.5  # MH proposal rounds = this * num_vars
     lr: float = 8e-2
     seed: int = 0
+    sampler: str = "scan"  # "scan" (XLA, any backend) | "fused" (bit-packed
+    # Pallas kernel with on-core PRNG; TPU-only, num_vars < 32768)
 
 
 class MultiMCPGResult(NamedTuple):
@@ -86,7 +88,14 @@ def solve_mcpg(problem: McpgProblem, cfg: MultiMCPGConfig = MultiMCPGConfig()):
         probs = policy.apply(params)
         # each chain replicated repeat_times (reference sample_initializer)
         tiled = jnp.tile(chain_bits, (cfg.repeat_times, 1))
-        mh = metropolis_bitflip_scan(k_mh, probs, tiled, mh_rounds)
+        if cfg.sampler == "fused":
+            from rlsolver_tpu.ops.pallas.mh_sampler import mh_sample_fused
+
+            seed = jax.random.randint(k_mh, (), 0, jnp.iinfo(jnp.int32).max)
+            blk = total if total % 512 != 0 else 512
+            mh = mh_sample_fused(seed, probs, tiled, mh_rounds, block_chains=blk)
+        else:
+            mh = metropolis_bitflip_scan(k_mh, probs, tiled, mh_rounds)
         improved = problem.improve(k_ls, mh)
         scores = problem.score(improved)
 

@@ -73,6 +73,8 @@ class TncoMcpgConfig:
     ls_iters: int = 4
     lr: float = 5e-2
     seed: int = 0
+    sampler: str = "scan"  # "scan" (XLA, any backend/mesh) | "fused"
+    # (bit-packed Pallas kernel, TPU-only, num_bits < 32768, unsharded)
 
 
 class TncoMcpgState(NamedTuple):
@@ -103,7 +105,16 @@ def make_tnco_mcpg_step(env: TncoEnv, cfg: TncoMcpgConfig, axis_name: Optional[s
             env.priorities_to_edge_sorts(state.best_fs)
         )
         tiled = jnp.tile(bits, (cfg.repeat_times, 1))
-        mh = metropolis_bitflip_scan(k_mh, probs, tiled, cfg.mh_rounds)
+        if cfg.sampler == "fused" and not axis_name:
+            from rlsolver_tpu.ops.pallas.mh_sampler import mh_sample_fused
+
+            seed = jax.random.randint(k_mh, (), 0, jnp.iinfo(jnp.int32).max)
+            blk = tiled.shape[0] if tiled.shape[0] % 512 != 0 else 512
+            mh = mh_sample_fused(
+                seed, probs, tiled, cfg.mh_rounds, block_chains=blk
+            )
+        else:
+            mh = metropolis_bitflip_scan(k_mh, probs, tiled, cfg.mh_rounds)
 
         fs = env.ranks_to_priorities(env.bits_to_edge_sorts(mh))
         fs, vs = env.local_search(k_ls, fs, num_iters=cfg.ls_iters)

@@ -450,9 +450,11 @@ def mh_sample_fused(
         raise ValueError(f"chains {b} not a multiple of block {block_chains}")
     if n >= 1 << 15:
         raise ValueError(f"fused sampler requires num_nodes < 32768, got {n}")
+    # chunking only affects PRNG re-seed points; snap to a divisor so any
+    # round count works
     rounds_chunk = min(rounds_chunk, num_rounds)
-    if num_rounds % rounds_chunk != 0:
-        raise ValueError(f"rounds {num_rounds} not a multiple of {rounds_chunk}")
+    while num_rounds % rounds_chunk != 0:
+        rounds_chunk -= 1
     words = pack_bits(bits)
     w = words.shape[1]
     wpad = max(128, ((w + 127) // 128) * 128)
