@@ -46,6 +46,7 @@ class MaxcutEnv:
         graph: Graph,
         dtype=jnp.bfloat16,
         mode: str = "auto",
+        packed_sweep: bool = False,
     ):
         self.graph = graph
         self.num_nodes = graph.num_nodes
@@ -54,6 +55,13 @@ class MaxcutEnv:
         with_dense = mode != "sparse"
         self.cg = cut_ops.CutGraph.build(graph, dtype=dtype, with_dense=with_dense)
         self.if_maximize = True
+        # opt-in bit-packed Pallas 1-flip sweep (TPU-only, unit weights;
+        # bit-exact vs the f32 path — ops/pallas/mcpg_sweep.py)
+        self._adj_packed = None
+        if packed_sweep:
+            from rlsolver_tpu.ops.pallas.mcpg_sweep import pack_adjacency
+
+            self._adj_packed = pack_adjacency(graph)
 
     # ------------------------------------------------------------------ state
     def random_xs(self, key: jax.Array, num_sims: int) -> jax.Array:
@@ -126,6 +134,12 @@ class MaxcutEnv:
         """One sequential greedy 1-flip sweep over all nodes (all sims in
         parallel), with rank-1 incremental gain updates. Strict-improvement
         accepts match `update_xs_by_vs`. Sign convention: bit 1 -> sign +1."""
+        if self._adj_packed is not None:
+            from rlsolver_tpu.ops.pallas.mcpg_sweep import sweep_1flip_packed
+
+            blk = 512 if xs.shape[0] % 512 == 0 else xs.shape[0]
+            out = sweep_1flip_packed(xs, self._adj_packed, block_chains=blk)
+            return out, self.obj(out)
         if self.cg.adj is None:
             raise NotImplementedError("sweep_1flip needs the dense adjacency")
         s = cut_ops.signs_from_bits(xs, jnp.float32)

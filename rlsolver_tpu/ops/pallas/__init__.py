@@ -13,6 +13,8 @@ from rlsolver_tpu.ops.pallas.mcpg_sweep import (
     mcpg_sweep_fused,
     mcpg_sweep_packed,
     mcpg_sweep_reference,
+    pack_adjacency,
+    sweep_1flip_packed,
 )
 from rlsolver_tpu.ops.pallas.mh_sampler import (
     make_proposal_stream,
@@ -32,6 +34,8 @@ __all__ = [
     "mcpg_sweep_fused",
     "mcpg_sweep_packed",
     "mcpg_sweep_reference",
+    "pack_adjacency",
+    "sweep_1flip_packed",
     "make_proposal_stream",
     "make_round_randoms",
     "mh_reference",

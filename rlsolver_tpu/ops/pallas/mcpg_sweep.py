@@ -316,6 +316,86 @@ def mcpg_sweep_fused(
     )
 
 
+def pack_adjacency(graph: Graph) -> jax.Array:
+    """Unit-weight adjacency as packed int32 rows [N, WPAD] (natural node
+    order), for the greedy 1-flip sweep."""
+    n = graph.num_nodes
+    adj = np.asarray(graph.adjacency_dense())
+    if not np.all((adj == 0) | (adj == 1)):
+        raise ValueError("packed sweep requires a unit-weight graph")
+    w = (n + 31) // 32
+    wpad = max(128, -(-w // 128) * 128)
+    padded = np.zeros((n, wpad * 32), bool)
+    padded[:, :n] = adj.astype(bool)
+    bits = padded.reshape(n, wpad, 32)
+    weights = (1 << np.arange(32, dtype=np.int64))[None, None, :]
+    words = (bits * weights).sum(axis=2)
+    return jnp.asarray((words & 0xFFFFFFFF).astype(np.uint32).view(np.int32))
+
+
+def _sweep_1flip_kernel(adj_ref, bits_ref, out_ref, *, num_nodes):
+    out_ref[:] = bits_ref[:]
+    words0 = out_ref[:]  # [BLK, WPAD] int32
+    lane = jax.lax.broadcasted_iota(jnp.int32, words0.shape, 1)
+
+    def body(i, words):
+        row = adj_ref[pl.ds(i, 1), :]  # [1, WPAD]
+        deg = jnp.sum(jax.lax.population_count(row))  # scalar
+        p = jnp.sum(
+            jax.lax.population_count(words & row), axis=1, keepdims=True
+        )  # [BLK, 1] neighbors with bit set
+        word_i = jax.lax.shift_right_logical(i, 5)
+        bitpos = i & 31
+        hot = (lane == word_i).astype(jnp.int32)
+        cur_word = jnp.sum(words * hot, axis=1, keepdims=True)
+        cur = jax.lax.shift_right_logical(cur_word, bitpos) & 1
+        # cut edges at i: neighbors on the other side
+        cut_i = jnp.where(cur == 1, deg - p, p)
+        accept = (deg - 2 * cut_i > 0).astype(jnp.int32)  # strict improvement
+        flip = jax.lax.shift_left(accept, bitpos)
+        return jax.lax.bitwise_xor(words, hot * flip)
+
+    out_ref[:] = jax.lax.fori_loop(0, num_nodes, body, words0)
+
+
+@functools.partial(jax.jit, static_argnames=("block_chains", "interpret"))
+def sweep_1flip_packed(
+    bits: jax.Array,
+    adj_packed: jax.Array,
+    block_chains: int = 512,
+    interpret: bool = False,
+) -> jax.Array:
+    """Greedy sequential 1-flip sweep (`env_L2A.py:110-115` semantics,
+    `MaxcutEnv.sweep_1flip`'s strict-improvement accepts, ascending node
+    order) on bit-packed state. Deterministic and integer-exact, so it is
+    bit-identical to the f32 incremental-gain formulation for unit-weight
+    graphs (tested). bits: bool [B, N]; adj_packed from `pack_adjacency`.
+    """
+    b, n = bits.shape
+    if b % block_chains != 0:
+        raise ValueError(f"chains {b} not a multiple of block {block_chains}")
+    wpad = adj_packed.shape[1]
+    words = pack_bits(bits)
+    w = words.shape[1]
+    words = jnp.pad(words, ((0, 0), (0, wpad - w)))
+    out = pl.pallas_call(
+        functools.partial(_sweep_1flip_kernel, num_nodes=n),
+        out_shape=jax.ShapeDtypeStruct((b, wpad), jnp.int32),
+        grid=(b // block_chains,),
+        in_specs=[
+            pl.BlockSpec((n, wpad), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (block_chains, wpad), lambda i: (i, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (block_chains, wpad), lambda i: (i, 0), memory_space=pltpu.VMEM
+        ),
+        interpret=interpret,
+    )(adj_packed, words)
+    return unpack_bits(out[:, :w], n)
+
+
 def mcpg_sweep_reference(
     noise_u16: jax.Array,
     bits: jax.Array,

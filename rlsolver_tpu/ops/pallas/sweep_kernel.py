@@ -16,11 +16,14 @@ mode at all sizes; real hardware at n <= 128).
 Backend status (2026-08, axon TPU v5e tunnel): compiles and runs bit-exact
 for single-lane-tile graphs (n_pad == 128); for larger graphs the remote
 tpu_compile_helper crashes (opaque exit 1) on both the VMEM-resident and
-row-DMA variants — an axon/Mosaic limitation, not a semantics issue. The
-XLA `MaxcutEnv.sweep_1flip` fori_loop therefore remains the production
-sweep; this kernel is the VMEM-resident pattern to revisit on a backend
-with a healthy Mosaic toolchain, where the O(N^2 * B) -> O(N^2 + B * N)
-HBM-traffic reduction should pay off directly.
+row-DMA variants — an axon/Mosaic limitation, not a semantics issue.
+
+SUPERSEDED for unit-weight graphs by
+`ops/pallas/mcpg_sweep.py:sweep_1flip_packed` — the bit-packed popcount
+formulation avoids the multi-tile lane dimension entirely ([BLK, N/32]
+blocks), compiles fine through the tunnel at G22 scale, is bit-exact vs
+`MaxcutEnv.sweep_1flip`, and runs 654M vs 29M node-visits/s (23x). This
+f32 kernel remains the general-weight pattern.
 """
 
 from __future__ import annotations

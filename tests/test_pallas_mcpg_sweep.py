@@ -70,3 +70,18 @@ def test_weighted_graph_rejected():
     g = Graph.from_edge_list(3, [(0, 1, 2.0), (1, 2, 1.0)], name="w")
     with pytest.raises(ValueError, match="unit-weight"):
         PackedSweepTables.build(g)
+
+
+def test_sweep_1flip_packed_bit_exact(setup):
+    from rlsolver_tpu.envs.maxcut import MaxcutEnv
+    from rlsolver_tpu.ops.pallas.mcpg_sweep import pack_adjacency, sweep_1flip_packed
+
+    g, _ = setup
+    env = MaxcutEnv(g)
+    bits = jax.random.bernoulli(jax.random.PRNGKey(6), 0.5, (64, g.num_nodes))
+    ref_bits, ref_vs = env.sweep_1flip(bits, env.obj(bits))
+    out = sweep_1flip_packed(
+        bits, pack_adjacency(g), block_chains=64, interpret=True
+    )
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref_bits))
+    np.testing.assert_allclose(np.asarray(env.obj(out)), np.asarray(ref_vs))
