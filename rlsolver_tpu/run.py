@@ -78,10 +78,13 @@ def _local_search(g, seed):
     return out[0], out[1]
 
 
-def _mcpg(g, seed):
+def _mcpg(g, seed, fast=False):
     from rlsolver_tpu.algos.mcpg import MCPGConfig, solve_maxcut_mcpg
 
-    out = solve_maxcut_mcpg(g, MCPGConfig(seed=seed))
+    cfg = MCPGConfig(seed=seed)
+    if fast:
+        cfg = MCPGConfig(seed=seed, sampler="fused", sweep_mode="packed")
+    out = solve_maxcut_mcpg(g, cfg)
     return out[0], out[1]
 
 
@@ -152,9 +155,18 @@ SOLVERS: Dict[str, Solver] = {
 }
 
 
-def run_one(alg: str, graph: Graph, seed: int, write: bool, instance_path: str):
+def run_one(
+    alg: str, graph: Graph, seed: int, write: bool, instance_path: str,
+    fast: bool = False,
+):
     t0 = time.time()
-    bits, value = SOLVERS[alg](graph, seed)
+    import inspect
+
+    solver = SOLVERS[alg]
+    if "fast" in inspect.signature(solver).parameters:
+        bits, value = solver(graph, seed, fast=fast)
+    else:
+        bits, value = solver(graph, seed)
     duration = time.time() - t0
     bits = np.asarray(bits).astype(np.int64)
     check = obj_maxcut(bits, graph)
@@ -214,6 +226,12 @@ def main(argv=None) -> int:
     p.add_argument("--graphs", nargs="*", default=[], help="synthetic names, e.g. BA_100_ID0")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--no-write", action="store_true", help="skip result files")
+    p.add_argument(
+        "--fast",
+        action="store_true",
+        help="use the bit-packed Pallas kernel paths (TPU-only, unit-weight "
+        "graphs): MCPG sampler='fused' + sweep_mode='packed'",
+    )
     args = p.parse_args(argv)
 
     if args.problem == "tsp":
@@ -246,7 +264,9 @@ def main(argv=None) -> int:
         p.error("nothing to solve: pass --data-dir or --graphs")
 
     for graph, path in jobs:
-        value, duration, out = run_one(args.alg, graph, args.seed, not args.no_write, path)
+        value, duration, out = run_one(
+            args.alg, graph, args.seed, not args.no_write, path, fast=args.fast
+        )
         name = graph.name or os.path.basename(path)
         print(f"{args.alg} {name}: obj={value:.1f} time={duration:.2f}s"
               + (f" -> {out}" if out else ""))
