@@ -65,6 +65,7 @@ class L2AConfig:
     ls_iters: int = 4
     ls_num_spin: int = 8
     seed: int = 0
+    packed_sweep: bool = False  # bit-packed Pallas 1-flip sweep (TPU, unit weights)
 
 
 # ---------------------------------------------------------------- pretraining
@@ -119,7 +120,7 @@ def solve_maxcut_l2a(
     verbose: bool = False,
 ):
     """Instance-wise dREINFORCE. Returns (best_x, best_v, evaluator)."""
-    env = MaxcutEnv(graph)
+    env = MaxcutEnv(graph, packed_sweep=cfg.packed_sweep)
     n = graph.num_nodes
     key = jax.random.PRNGKey(cfg.seed)
     key, k_pre = jax.random.split(key)

@@ -35,6 +35,7 @@ class LocalSearchConfig:
     replace_frac: float = 0.125  # worst chains replaced per iteration
     seed: int = 0
     log_every: int = 4
+    packed_sweep: bool = False  # bit-packed Pallas 1-flip sweep (TPU, unit weights)
 
 
 def solve_maxcut_local_search(
@@ -45,7 +46,7 @@ def solve_maxcut_local_search(
     verbose: bool = False,
 ):
     """Returns (best_x np.bool_[n], best_v float, evaluator)."""
-    env = MaxcutEnv(graph)
+    env = MaxcutEnv(graph, packed_sweep=config.packed_sweep)
     key = jax.random.PRNGKey(config.seed)
     key, k_init = jax.random.split(key)
     xs = env.random_xs(k_init, config.num_sims)
