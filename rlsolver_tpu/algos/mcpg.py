@@ -187,7 +187,8 @@ def solve_maxcut_mcpg(
     verbose: bool = False,
 ):
     """Returns (best_x np.bool_[n], best_v float, evaluator)."""
-    env = MaxcutEnv(graph)
+    # packed sweep_mode also accelerates the warm-start local search
+    env = MaxcutEnv(graph, packed_sweep=cfg.sweep_mode == "packed")
     data = SweepData.build(graph)
     C, R = cfg.total_mcmc_num, cfg.repeat_times
     policy, optimizer, sample_step, reduce_step, update_step = _build_steps(env, data, cfg)
