@@ -50,3 +50,44 @@ def test_stock_trading_cannot_sell_short_or_overspend():
     rich_state = state._replace(cash=jnp.full((2,), 10.0))
     state3, _, _, _ = env.step(rich_state, jnp.ones((2, 2)))
     assert (np.asarray(state3.cash) >= -1e-3).all()
+
+
+def test_batched_host_env_adapter():
+    """CustomGymEnv-parity host adapter: duck-types both gym conventions,
+    auto-resets finished envs."""
+    import numpy as np
+    from rlsolver_tpu.envs.external import BatchedHostEnv
+
+    class OldGym:
+        def __init__(self):
+            self.t = 0
+        def reset(self):
+            self.t = 0
+            return np.array([0.0])
+        def step(self, a):
+            self.t += 1
+            return np.array([float(self.t)]), 1.0, self.t >= 3, {}
+
+    class NewGym:
+        def __init__(self):
+            self.t = 0
+        def reset(self):
+            self.t = 0
+            return np.array([10.0]), {}
+        def step(self, a):
+            self.t += 1
+            return np.array([10.0 + self.t]), 2.0, self.t >= 2, False, {}
+
+    venv = BatchedHostEnv([OldGym, NewGym])
+    obs = venv.reset()
+    np.testing.assert_allclose(obs[:, 0], [0.0, 10.0])
+    acts = np.zeros((2, 1))
+    obs, rew, done = venv.step(acts)
+    np.testing.assert_allclose(rew, [1.0, 2.0])
+    assert not done.any()
+    obs, rew, done = venv.step(acts)
+    assert done[1] and not done[0]          # NewGym finished at t=2
+    np.testing.assert_allclose(obs[1, 0], 10.0)  # auto-reset obs
+    obs, rew, done = venv.step(acts)
+    assert done[0]                          # OldGym finished at t=3
+    np.testing.assert_allclose(obs[0, 0], 0.0)
