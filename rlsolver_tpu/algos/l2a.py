@@ -65,7 +65,7 @@ class L2AConfig:
     ls_iters: int = 4
     ls_num_spin: int = 8
     seed: int = 0
-    packed_sweep: bool = False  # bit-packed Pallas 1-flip sweep (TPU, unit weights)
+    packed_sweep: bool = False  # bit-packed Pallas 1-flip sweep (TPU, {0, +-1} weights)
 
 
 # ---------------------------------------------------------------- pretraining

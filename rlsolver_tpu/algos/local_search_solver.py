@@ -35,7 +35,7 @@ class LocalSearchConfig:
     replace_frac: float = 0.125  # worst chains replaced per iteration
     seed: int = 0
     log_every: int = 4
-    packed_sweep: bool = False  # bit-packed Pallas 1-flip sweep (TPU, unit weights)
+    packed_sweep: bool = False  # bit-packed Pallas 1-flip sweep (TPU, {0, +-1} weights)
 
 
 def solve_maxcut_local_search(

@@ -58,7 +58,7 @@ class MCPGConfig:
     seed: int = 0
     sweep_mode: str = "sequential"  # "sequential" (parity) | "colored" (MXU)
     # | "packed" (bit-packed Pallas kernel with on-core PRNG; TPU-only,
-    #   unit-weight graphs — ~941M node-updates/s at G22-class shapes)
+    #   {0, +-1}-weight graphs — ~941M node-updates/s at G22-class shapes)
     sampler: str = "budgeted"  # "budgeted" (reference-parity accept budget) |
     # "fused" (bit-packed Pallas kernel with on-core PRNG, TPU-only; runs a
     # fixed 2 * change_times proposal rounds instead of the accept budget)

@@ -55,7 +55,7 @@ class MaxcutEnv:
         with_dense = mode != "sparse"
         self.cg = cut_ops.CutGraph.build(graph, dtype=dtype, with_dense=with_dense)
         self.if_maximize = True
-        # opt-in bit-packed Pallas 1-flip sweep (TPU-only, unit weights;
+        # opt-in bit-packed Pallas 1-flip sweep (TPU-only, {0, +-1} weights;
         # bit-exact vs the f32 path — ops/pallas/mcpg_sweep.py)
         self._adj_packed = None
         if packed_sweep:

@@ -24,8 +24,14 @@ with U_k = |m_unproc[k]| static, so the accept test
 `nbr_sum + u * ns < (wdeg + ns) / 2` becomes a popcount compare against the
 precomputed threshold thr1[k] = (wdeg_i + ns)/2 + 0.5 * U_k. Sweeps >= 2
 see an all-{0,1} state and use m_all = m_proc | m_unproc with
-thr2[k] = (wdeg_i + ns)/2. Restricted to unit-weight graphs (the gset/syn
-instances MCPG targets); weighted graphs fall back to the XLA sweep.
+thr2[k] = (wdeg_i + ns)/2.
+
+Supports unit-weight graphs (one bit-plane per mask) and {0, +-1}-weight
+graphs — half the real Gset suite (G11-G13, G32-G34, G56, G57, ...) — via a
+second bit-plane per mask holding the negative edges: each weighted
+neighbor sum is then a signed popcount difference
+popcount(x & m_pos) - popcount(x & m_neg), still exact integer arithmetic.
+General-weight graphs fall back to the XLA sweep.
 
 All f32 quantities involved are exact (integers and halves), so the
 injected-noise variant is bit-exact against its XLA twin
@@ -45,7 +51,7 @@ reference's gset presets (up to 1M chains, `MCPG.py:49-84`) — 698M vs 41M
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -58,7 +64,10 @@ from rlsolver_tpu.ops.pallas.mh_sampler import pack_bits, unpack_bits
 
 
 class PackedSweepTables(NamedTuple):
-    """Static per-instance tables, in sweep (descending-degree) order."""
+    """Static per-instance tables, in sweep (descending-degree) order.
+
+    The `*_neg` planes are None for unit-weight graphs and hold the
+    negative-edge bit masks for {0, +-1}-weight graphs (signed popcounts)."""
 
     nodes: jax.Array  # [N] int32 node ids (sweep order)
     m_proc: jax.Array  # [N, WPAD] int32 earlier-neighbor masks (sweep 1)
@@ -66,6 +75,9 @@ class PackedSweepTables(NamedTuple):
     m_all: jax.Array  # [N, WPAD] int32 all-neighbor masks (sweeps >= 2)
     thr1: jax.Array  # [N] f32 first-sweep thresholds
     thr2: jax.Array  # [N] f32 later-sweep thresholds
+    m_proc_neg: Optional[jax.Array] = None  # [N, WPAD] negative-edge planes
+    m_unproc_neg: Optional[jax.Array] = None
+    m_all_neg: Optional[jax.Array] = None
 
     @property
     def num_nodes(self) -> int:
@@ -75,57 +87,79 @@ class PackedSweepTables(NamedTuple):
     def wpad(self) -> int:
         return self.m_proc.shape[1]
 
+    @property
+    def signed(self) -> bool:
+        return self.m_proc_neg is not None
+
     @staticmethod
     def build(graph: Graph) -> "PackedSweepTables":
         n = graph.num_nodes
         adj = np.asarray(graph.adjacency_dense())
-        if not np.all((adj == 0) | (adj == 1)):
-            raise ValueError("packed sweep requires a unit-weight graph")
-        a = adj.astype(bool)
+        if not np.all(np.isin(adj, (-1.0, 0.0, 1.0))):
+            raise ValueError(
+                "packed sweep requires a unit-weight or {0, +-1}-weight graph"
+            )
+        signed = bool(np.any(adj < 0))
         order = np.asarray(graph.degree_sorted_nodes(descending=True))
         pos = np.empty(n, np.int64)
         pos[order] = np.arange(n)
-        a_ord = a[order]  # [N steps, N nodes]
         earlier = pos[None, :] < np.arange(n)[:, None]  # [N, N]
-        m_proc_b = a_ord & earlier
-        m_all_b = a_ord
-        m_unproc_b = a_ord & ~earlier
-        # nodes are never their own neighbors (no self loops in Graph)
-        u_cnt = m_unproc_b.sum(axis=1).astype(np.float64)
+
+        def planes(a: np.ndarray):
+            a_ord = a[order]  # [N steps, N nodes]
+            # nodes are never their own neighbors (no self loops in Graph)
+            return a_ord & earlier, a_ord & ~earlier, a_ord
+
+        mp, mu, ma = planes(adj > 0)
+        u_cnt = mu.sum(axis=1).astype(np.float64)
+        if signed:
+            mpn, mun, man = planes(adj < 0)
+            u_cnt -= mun.sum(axis=1)
         wdeg = np.asarray(graph.weighted_degrees())[order].astype(np.float64)
         # noise-free thresholds; the runtime adds noise_scale / 2
         base = wdeg / 2.0
         w = (n + 31) // 32
         wpad = max(128, -(-w // 128) * 128)
 
-        def pack(rows: np.ndarray) -> np.ndarray:
+        def pack(rows: np.ndarray) -> jax.Array:
             padded = np.zeros((rows.shape[0], wpad * 32), bool)
             padded[:, :n] = rows
             bits = padded.reshape(rows.shape[0], wpad, 32)
             weights = (1 << np.arange(32, dtype=np.int64))[None, None, :]
             words = (bits * weights).sum(axis=2)
-            return (words & 0xFFFFFFFF).astype(np.uint32).view(np.int32)
+            return jnp.asarray((words & 0xFFFFFFFF).astype(np.uint32).view(np.int32))
 
         return PackedSweepTables(
             nodes=jnp.asarray(order.astype(np.int32)),
-            m_proc=jnp.asarray(pack(m_proc_b)),
-            m_unproc=jnp.asarray(pack(m_unproc_b)),
-            m_all=jnp.asarray(pack(m_all_b)),
+            m_proc=pack(mp),
+            m_unproc=pack(mu),
+            m_all=pack(ma),
             thr1=jnp.asarray((base + 0.5 * u_cnt).astype(np.float32)),
             thr2=jnp.asarray(base.astype(np.float32)),
+            m_proc_neg=pack(mpn) if signed else None,
+            m_unproc_neg=pack(mun) if signed else None,
+            m_all_neg=pack(man) if signed else None,
         )
 
 
+def _pc_f32(words, m):
+    return jnp.sum(
+        jax.lax.population_count(words & m), axis=1, keepdims=True
+    ).astype(jnp.float32)
+
+
 def _sweep_body(words, lane, node, m_a, m_b, two_b, u_term, thr):
-    """One node update. words [BLK, WPAD]; node scalar; masks [1, WPAD];
+    """One node update. words [BLK, WPAD]; node scalar; m_a/m_b are
+    (pos, neg_or_None) mask pairs [1, WPAD] (signed popcount difference);
     u_term [BLK, 1] f32 (noise * scale, already scaled); thr scalar f32."""
-    pc_a = jnp.sum(
-        jax.lax.population_count(words & m_a), axis=1, keepdims=True
-    ).astype(jnp.float32)
-    pc_b = jnp.sum(
-        jax.lax.population_count(words & m_b), axis=1, keepdims=True
-    ).astype(jnp.float32)
-    nbr = pc_a + two_b * pc_b
+    nbr = _pc_f32(words, m_a[0])
+    if m_a[1] is not None:
+        nbr = nbr - _pc_f32(words, m_a[1])
+    if two_b:
+        pc_b = _pc_f32(words, m_b[0])
+        if m_b[1] is not None:
+            pc_b = pc_b - _pc_f32(words, m_b[1])
+        nbr = nbr + two_b * pc_b
     new_bit = ((nbr + u_term) < thr).astype(jnp.int32)  # [BLK, 1]
     word_i = jax.lax.shift_right_logical(node, 5)
     bitmask = jax.lax.shift_left(1, node & 31)
@@ -139,17 +173,18 @@ def _mcpg_sweep_kernel(
     nodes_ref,
     thr1_ref,
     thr2_ref,
-    mp_ref,
-    mu_ref,
-    ma_ref,
-    noise_ref,
-    bits_ref,
-    out_ref,
-    *,
+    *rest,
     num_sweeps,
     noise_scale,
     use_prng,
+    signed,
 ):
+    if signed:
+        (mp_ref, mpn_ref, mu_ref, mun_ref, ma_ref, man_ref,
+         noise_ref, bits_ref, out_ref) = rest
+    else:
+        mp_ref, mu_ref, ma_ref, noise_ref, bits_ref, out_ref = rest
+        mpn_ref = mun_ref = man_ref = None
     num_nodes = nodes_ref.shape[0]
     i_blk = pl.program_id(0)
     if use_prng:
@@ -172,8 +207,8 @@ def _mcpg_sweep_kernel(
 
     def first_sweep_step(k, words):
         node = nodes_ref[k]
-        m_p = mp_ref[pl.ds(k, 1), :]
-        m_u = mu_ref[pl.ds(k, 1), :]
+        m_p = (mp_ref[pl.ds(k, 1), :], mpn_ref[pl.ds(k, 1), :] if signed else None)
+        m_u = (mu_ref[pl.ds(k, 1), :], mun_ref[pl.ds(k, 1), :] if signed else None)
         return _sweep_body(
             words, lane, node, m_p, m_u, 2.0, u_term(0, k), thr1_ref[k] + half_ns
         )
@@ -182,7 +217,7 @@ def _mcpg_sweep_kernel(
         s = sk // num_nodes
         k = sk % num_nodes
         node = nodes_ref[k]
-        m_a = ma_ref[pl.ds(k, 1), :]
+        m_a = (ma_ref[pl.ds(k, 1), :], man_ref[pl.ds(k, 1), :] if signed else None)
         return _sweep_body(
             words, lane, node, m_a, m_a, 0.0, u_term(s, k), thr2_ref[k] + half_ns
         )
@@ -215,6 +250,15 @@ def _sweep_call(
     w = words.shape[1]
     words = jnp.pad(words, ((0, 0), (0, wpad - w)))
 
+    signed = tables.signed
+    if signed:
+        masks = [
+            tables.m_proc, tables.m_proc_neg,
+            tables.m_unproc, tables.m_unproc_neg,
+            tables.m_all, tables.m_all_neg,
+        ]
+    else:
+        masks = [tables.m_proc, tables.m_unproc, tables.m_all]
     mask_spec = pl.BlockSpec((n, wpad), lambda i: (0, 0), memory_space=pltpu.VMEM)
     noise_rows = noise_u16.shape[0]  # 1 (prng dummy) or num_sweeps * n
     noise_spec = pl.BlockSpec(
@@ -226,6 +270,7 @@ def _sweep_call(
             num_sweeps=num_sweeps,
             noise_scale=noise_scale,
             use_prng=use_prng,
+            signed=signed,
         ),
         out_shape=jax.ShapeDtypeStruct((b, wpad), jnp.int32),
         grid=(b // block_chains,),
@@ -234,9 +279,7 @@ def _sweep_call(
             pl.BlockSpec(memory_space=pltpu.SMEM),  # nodes
             pl.BlockSpec(memory_space=pltpu.SMEM),  # thr1
             pl.BlockSpec(memory_space=pltpu.SMEM),  # thr2
-            mask_spec,
-            mask_spec,
-            mask_spec,
+            *([mask_spec] * len(masks)),
             noise_spec,  # injected noise ([1, B] dummy when use_prng)
             pl.BlockSpec(
                 (block_chains, wpad), lambda i: (i, 0), memory_space=pltpu.VMEM
@@ -251,9 +294,7 @@ def _sweep_call(
         tables.nodes,
         tables.thr1,
         tables.thr2,
-        tables.m_proc,
-        tables.m_unproc,
-        tables.m_all,
+        *masks,
         noise_u16,
         words,
     )
@@ -316,24 +357,37 @@ def mcpg_sweep_fused(
     )
 
 
-def pack_adjacency(graph: Graph) -> jax.Array:
-    """Unit-weight adjacency as packed int32 rows [N, WPAD] (natural node
-    order), for the greedy 1-flip sweep."""
+def pack_adjacency(graph: Graph) -> Tuple[jax.Array, Optional[jax.Array]]:
+    """{0, +-1}-weight adjacency as (pos, neg) packed int32 row planes
+    [N, WPAD] (natural node order) for the greedy 1-flip sweep; neg is None
+    for unit-weight graphs."""
     n = graph.num_nodes
     adj = np.asarray(graph.adjacency_dense())
-    if not np.all((adj == 0) | (adj == 1)):
-        raise ValueError("packed sweep requires a unit-weight graph")
+    if not np.all(np.isin(adj, (-1.0, 0.0, 1.0))):
+        raise ValueError(
+            "packed sweep requires a unit-weight or {0, +-1}-weight graph"
+        )
     w = (n + 31) // 32
     wpad = max(128, -(-w // 128) * 128)
-    padded = np.zeros((n, wpad * 32), bool)
-    padded[:, :n] = adj.astype(bool)
-    bits = padded.reshape(n, wpad, 32)
-    weights = (1 << np.arange(32, dtype=np.int64))[None, None, :]
-    words = (bits * weights).sum(axis=2)
-    return jnp.asarray((words & 0xFFFFFFFF).astype(np.uint32).view(np.int32))
+
+    def pack(rows: np.ndarray) -> jax.Array:
+        padded = np.zeros((n, wpad * 32), bool)
+        padded[:, :n] = rows
+        bits = padded.reshape(n, wpad, 32)
+        weights = (1 << np.arange(32, dtype=np.int64))[None, None, :]
+        words = (bits * weights).sum(axis=2)
+        return jnp.asarray((words & 0xFFFFFFFF).astype(np.uint32).view(np.int32))
+
+    neg = pack(adj < 0) if np.any(adj < 0) else None
+    return pack(adj > 0), neg
 
 
-def _sweep_1flip_kernel(adj_ref, bits_ref, out_ref, *, num_nodes):
+def _sweep_1flip_kernel(*refs, num_nodes, signed):
+    if signed:
+        adj_ref, adjn_ref, bits_ref, out_ref = refs
+    else:
+        adj_ref, bits_ref, out_ref = refs
+        adjn_ref = None
     out_ref[:] = bits_ref[:]
     words0 = out_ref[:]  # [BLK, WPAD] int32
     lane = jax.lax.broadcasted_iota(jnp.int32, words0.shape, 1)
@@ -349,9 +403,19 @@ def _sweep_1flip_kernel(adj_ref, bits_ref, out_ref, *, num_nodes):
         hot = (lane == word_i).astype(jnp.int32)
         cur_word = jnp.sum(words * hot, axis=1, keepdims=True)
         cur = jax.lax.shift_right_logical(cur_word, bitpos) & 1
-        # cut edges at i: neighbors on the other side
+        # cut weight at i: neighbors on the other side (signed popcount
+        # difference for +-1 weights); flip gain = wdeg_i - 2 * cut_i
         cut_i = jnp.where(cur == 1, deg - p, p)
-        accept = (deg - 2 * cut_i > 0).astype(jnp.int32)  # strict improvement
+        wdeg = deg
+        if signed:
+            rown = adjn_ref[pl.ds(i, 1), :]
+            degn = jnp.sum(jax.lax.population_count(rown))
+            pn = jnp.sum(
+                jax.lax.population_count(words & rown), axis=1, keepdims=True
+            )
+            cut_i = cut_i - jnp.where(cur == 1, degn - pn, pn)
+            wdeg = deg - degn
+        accept = (wdeg - 2 * cut_i > 0).astype(jnp.int32)  # strict improvement
         flip = jax.lax.shift_left(accept, bitpos)
         return jax.lax.bitwise_xor(words, hot * flip)
 
@@ -361,7 +425,7 @@ def _sweep_1flip_kernel(adj_ref, bits_ref, out_ref, *, num_nodes):
 @functools.partial(jax.jit, static_argnames=("block_chains", "interpret"))
 def sweep_1flip_packed(
     bits: jax.Array,
-    adj_packed: jax.Array,
+    adj_packed: Tuple[jax.Array, Optional[jax.Array]],
     block_chains: int = 512,
     interpret: bool = False,
 ) -> jax.Array:
@@ -369,21 +433,26 @@ def sweep_1flip_packed(
     `MaxcutEnv.sweep_1flip`'s strict-improvement accepts, ascending node
     order) on bit-packed state. Deterministic and integer-exact, so it is
     bit-identical to the f32 incremental-gain formulation for unit-weight
-    graphs (tested). bits: bool [B, N]; adj_packed from `pack_adjacency`.
+    and {0, +-1}-weight graphs (tested). bits: bool [B, N]; adj_packed =
+    `pack_adjacency(graph)` (pos, neg-or-None) planes.
     """
+    adj_pos, adj_neg = adj_packed
+    signed = adj_neg is not None
     b, n = bits.shape
     if b % block_chains != 0:
         raise ValueError(f"chains {b} not a multiple of block {block_chains}")
-    wpad = adj_packed.shape[1]
+    wpad = adj_pos.shape[1]
     words = pack_bits(bits)
     w = words.shape[1]
     words = jnp.pad(words, ((0, 0), (0, wpad - w)))
+    adj_spec = pl.BlockSpec((n, wpad), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    adj_args = (adj_pos, adj_neg) if signed else (adj_pos,)
     out = pl.pallas_call(
-        functools.partial(_sweep_1flip_kernel, num_nodes=n),
+        functools.partial(_sweep_1flip_kernel, num_nodes=n, signed=signed),
         out_shape=jax.ShapeDtypeStruct((b, wpad), jnp.int32),
         grid=(b // block_chains,),
         in_specs=[
-            pl.BlockSpec((n, wpad), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            *([adj_spec] * len(adj_args)),
             pl.BlockSpec(
                 (block_chains, wpad), lambda i: (i, 0), memory_space=pltpu.VMEM
             ),
@@ -392,7 +461,7 @@ def sweep_1flip_packed(
             (block_chains, wpad), lambda i: (i, 0), memory_space=pltpu.VMEM
         ),
         interpret=interpret,
-    )(adj_packed, words)
+    )(*adj_args, words)
     return unpack_bits(out[:, :w], n)
 
 
@@ -404,31 +473,32 @@ def mcpg_sweep_reference(
     num_sweeps: int = 1,
     noise_scale: float = 0.25,
 ) -> jax.Array:
-    """XLA twin mirroring the kernel's exact arithmetic (popcount form),
+    """XLA twin mirroring the kernel's exact arithmetic (signed-popcount
+    form — all neighbor sums are exact f32 integers for {0, +-1} weights),
     consuming the same injected u16 noise. bits: bool [B, N] -> bool [B, N].
     """
     n = tables.num_nodes
-    adj = jnp.asarray(np.asarray(graph.adjacency_dense()) != 0)  # bool [N, N]
+    adj = jnp.asarray(np.asarray(graph.adjacency_dense()), jnp.float32)  # [N, N]
     order = tables.nodes
     a_ord = adj[order]  # [N, N] in sweep order
     pos = jnp.zeros((n,), jnp.int32).at[order].set(jnp.arange(n, dtype=jnp.int32))
     earlier = pos[None, :] < jnp.arange(n, dtype=jnp.int32)[:, None]
-    m_proc = a_ord & earlier
-    m_unproc = a_ord & ~earlier
+    m_proc = jnp.where(earlier, a_ord, 0.0)
+    m_unproc = jnp.where(earlier, 0.0, a_ord)
     scale = jnp.float32(noise_scale / 65536.0)
     half_ns = jnp.float32(noise_scale / 2.0)
 
-    x = bits.astype(jnp.int32)
+    x = bits.astype(jnp.float32)
 
     def step(x, inp):
         node, mp, mu, ma, thr1, thr2, u, is_first = inp
-        pc_p = jnp.sum(x * mp.astype(jnp.int32)[None, :], axis=1).astype(jnp.float32)
-        pc_u = jnp.sum(x * mu.astype(jnp.int32)[None, :], axis=1).astype(jnp.float32)
-        pc_a = jnp.sum(x * ma.astype(jnp.int32)[None, :], axis=1).astype(jnp.float32)
+        pc_p = jnp.sum(x * mp[None, :], axis=1)
+        pc_u = jnp.sum(x * mu[None, :], axis=1)
+        pc_a = jnp.sum(x * ma[None, :], axis=1)
         nbr = jnp.where(is_first, pc_p + 2.0 * pc_u, pc_a + 0.0 * pc_a)
         thr = jnp.where(is_first, thr1, thr2) + half_ns
         u_term = u.astype(jnp.float32) * scale
-        new_bit = ((nbr + u_term) < thr).astype(jnp.int32)
+        new_bit = ((nbr + u_term) < thr).astype(jnp.float32)
         return x.at[:, node].set(new_bit), None
 
     s_idx = jnp.repeat(jnp.arange(num_sweeps), n)

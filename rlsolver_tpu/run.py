@@ -229,7 +229,7 @@ def main(argv=None) -> int:
     p.add_argument(
         "--fast",
         action="store_true",
-        help="use the bit-packed Pallas kernel paths (TPU-only, unit-weight "
+        help="use the bit-packed Pallas kernel paths (TPU-only, {0, +-1}-weight "
         "graphs): MCPG sampler='fused' + sweep_mode='packed'",
     )
     args = p.parse_args(argv)

@@ -158,3 +158,42 @@ def test_gset_file_reader_parity(ref_obj):
     assert ours.num_nodes == theirs.num_nodes
     np.testing.assert_array_equal(ours.edges, theirs.edges)
     np.testing.assert_array_equal(ours.weights, theirs.weights)
+
+
+def test_signed_weight_maxcut_parity(ref_obj):
+    """+-1 edge weights (the G11/G32-class Gset shape): objective, device
+    kernels, and the bit-packed signed 1-flip sweep all agree with the
+    reference oracle (`util_obj.py:31` sums signed adjacency entries)."""
+    import jax.numpy as jnp
+
+    from rlsolver_tpu.config import GraphType
+    from rlsolver_tpu.core.generate import generate_graph
+    from rlsolver_tpu.core.graph import Graph
+    from rlsolver_tpu.envs.maxcut import MaxcutEnv
+    from rlsolver_tpu.problems.objectives import obj_maxcut
+
+    base = generate_graph(GraphType.BA, 32, seed=6)
+    edges = [
+        (a, b, -1.0 if (a + b) % 2 else 1.0) for a, b, _ in base.to_edge_list()
+    ]
+    g = Graph.from_edge_list(base.num_nodes, edges, name="BA_32_pm1")
+    nxg = g.to_networkx()
+    env = MaxcutEnv(g, packed_sweep=True)
+    sols = random_solutions(g.num_nodes, seed=7)
+    dev = np.asarray(env.obj(jnp.asarray(sols, bool)))
+    for i, sol in enumerate(sols):
+        theirs = float(ref_obj.obj_maxcut(sol.tolist(), nxg))
+        assert abs(obj_maxcut(sol, g) - theirs) < 1e-6
+        assert dev[i] == theirs
+    # the packed signed sweep's accepted state must re-score consistently
+    from rlsolver_tpu.ops.pallas.mcpg_sweep import pack_adjacency, sweep_1flip_packed
+
+    bits = jnp.asarray(sols, bool)
+    swept = sweep_1flip_packed(
+        bits, pack_adjacency(g), block_chains=sols.shape[0], interpret=True
+    )
+    vs = np.asarray(env.obj(swept))
+    for i in range(sols.shape[0]):
+        theirs = float(ref_obj.obj_maxcut(np.asarray(swept)[i].astype(int).tolist(), nxg))
+        assert vs[i] == theirs
+        assert vs[i] >= dev[i]  # sweep never worsens the cut
