@@ -155,22 +155,92 @@ SOLVERS: Dict[str, Solver] = {
 }
 
 
+def _graph_problem_solvers() -> Dict[str, Dict[str, Solver]]:
+    """Per-problem solver registries over the same graph-instance axis
+    (the reference's `Problem` enum dispatch, `methods/config.py:18-32` +
+    per-problem branches in `greedy.py:33-336`)."""
+    from rlsolver_tpu.algos.isco import ISCOConfig, solve_mis_isco
+    from rlsolver_tpu.classical import coloring as col
+    from rlsolver_tpu.classical.greedy import (
+        greedy_graph_partitioning,
+        greedy_mis,
+        greedy_mvc,
+    )
+    from rlsolver_tpu.solvers import milp
+
+    def from_milp(solve):
+        def f(g, seed):
+            res = solve(g)
+            return np.asarray(res.solution).astype(np.int64), res.obj
+
+        return f
+
+    def coloring_alg(fn):
+        def f(g, seed):
+            colors, k = fn(g)
+            return colors.astype(np.int64), float(k)
+
+        return f
+
+    return {
+        "mis": {
+            "greedy": lambda g, seed: greedy_mis(g),
+            "isco": lambda g, seed: solve_mis_isco(g, ISCOConfig(seed=seed))[:2],
+            "milp": from_milp(milp.solve_mis),
+        },
+        "mvc": {
+            "greedy": lambda g, seed: greedy_mvc(g),
+            "milp": from_milp(milp.solve_mvc),
+        },
+        "graph_partitioning": {
+            "greedy": lambda g, seed: greedy_graph_partitioning(g),
+            "milp": from_milp(milp.solve_graph_partitioning),
+        },
+        "graph_coloring": {
+            "greedy": coloring_alg(col.greedy_coloring),
+            "welsh_powell": coloring_alg(col.welsh_powell),
+            "dsatur": coloring_alg(col.dsatur),
+            "rlf": coloring_alg(col.recursive_largest_first),
+        },
+    }
+
+
+def _check_solution(problem: str, solution: np.ndarray, value: float, graph: Graph):
+    """Re-score the solver's solution with the host objective twin."""
+    from rlsolver_tpu.classical.coloring import is_proper_coloring
+    from rlsolver_tpu.problems import objectives as obj
+
+    if problem == "maxcut":
+        check = obj.obj_maxcut(solution, graph)
+    elif problem == "mis":
+        check = obj.obj_maximum_independent_set(solution, graph)
+    elif problem == "mvc":
+        check = obj.obj_minimum_vertex_cover(solution, graph)
+    elif problem == "graph_partitioning":
+        check = obj.obj_graph_partitioning(solution, graph)
+    elif problem == "graph_coloring":
+        assert is_proper_coloring(graph, solution), "improper coloring"
+        check = float(len(np.unique(solution)))
+    else:
+        return
+    assert abs(check - value) < 1e-4, f"solver/objective mismatch: {value} vs {check}"
+
+
 def run_one(
     alg: str, graph: Graph, seed: int, write: bool, instance_path: str,
-    fast: bool = False,
+    fast: bool = False, problem: str = "maxcut",
 ):
     t0 = time.time()
     import inspect
 
-    solver = SOLVERS[alg]
+    solver = SOLVERS[alg] if problem == "maxcut" else _graph_problem_solvers()[problem][alg]
     if "fast" in inspect.signature(solver).parameters:
         bits, value = solver(graph, seed, fast=fast)
     else:
         bits, value = solver(graph, seed)
     duration = time.time() - t0
     bits = np.asarray(bits).astype(np.int64)
-    check = obj_maxcut(bits, graph)
-    assert abs(check - value) < 1e-4, f"solver/objective mismatch: {value} vs {check}"
+    _check_solution(problem, bits, value, graph)
     path = None
     if write:
         path = write_graph_result(
@@ -219,7 +289,11 @@ def run_tsp(alg: str, path: str, seed: int) -> Tuple[float, float]:
 
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="rlsolver_tpu", description=__doc__)
-    p.add_argument("--problem", default="maxcut", choices=["maxcut", "tsp"])
+    p.add_argument(
+        "--problem",
+        default="maxcut",
+        choices=["maxcut", "mis", "mvc", "graph_partitioning", "graph_coloring", "tsp"],
+    )
     p.add_argument("--alg", required=True)
     p.add_argument("--data-dir", default=None, help="directory of gset-format txt files")
     p.add_argument("--prefixes", nargs="*", default=[], help="instance filename prefixes")
@@ -251,8 +325,13 @@ def main(argv=None) -> int:
             print(f"{args.alg} {os.path.basename(f)}: length={length:.1f} time={duration:.2f}s")
         return 0
 
-    if args.alg not in SOLVERS:
-        p.error(f"maxcut algs: {sorted(SOLVERS)}")
+    if args.problem == "maxcut":
+        if args.alg not in SOLVERS:
+            p.error(f"maxcut algs: {sorted(SOLVERS)}")
+    else:
+        registry = _graph_problem_solvers()[args.problem]
+        if args.alg not in registry:
+            p.error(f"{args.problem} algs: {sorted(registry)}")
 
     jobs = []
     if args.data_dir:
@@ -265,7 +344,8 @@ def main(argv=None) -> int:
 
     for graph, path in jobs:
         value, duration, out = run_one(
-            args.alg, graph, args.seed, not args.no_write, path, fast=args.fast
+            args.alg, graph, args.seed, not args.no_write, path,
+            fast=args.fast, problem=args.problem,
         )
         name = graph.name or os.path.basename(path)
         print(f"{args.alg} {name}: obj={value:.1f} time={duration:.2f}s"

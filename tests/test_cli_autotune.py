@@ -76,3 +76,29 @@ def test_autotuner_prefers_working_sizes():
     by_n = dict(results)
     assert by_n[4096] == 0.0  # OOM recorded, not raised
     assert measure_throughput(run, 256, reps=2) > 0
+
+
+def test_cli_graph_problem_axes(capsys):
+    """The reference's Problem-enum dispatch (`methods/config.py:18-32`):
+    every graph-problem axis runs through the unified CLI with its own
+    objective re-check."""
+    from rlsolver_tpu.run import main
+
+    for problem, alg in [
+        ("mis", "greedy"),
+        ("mvc", "greedy"),
+        ("graph_partitioning", "greedy"),
+        ("graph_coloring", "dsatur"),
+    ]:
+        rc = main(
+            ["--problem", problem, "--alg", alg, "--graphs", "BA_32_ID0", "--no-write"]
+        )
+        assert rc == 0
+        assert "obj=" in capsys.readouterr().out
+
+
+def test_cli_milp_mis_matches_greedy_or_better(capsys):
+    from rlsolver_tpu.run import main
+
+    rc = main(["--problem", "mis", "--alg", "milp", "--graphs", "BA_24_ID0", "--no-write"])
+    assert rc == 0
