@@ -254,6 +254,80 @@ def run_one(
     return value, duration, path
 
 
+def _set_cover_solvers():
+    """Set-cover axis over reference-format instance files
+    (`util_read_data.py:335-344`); objective convention = negative set count
+    (`util_obj.py:145`)."""
+    from rlsolver_tpu.classical.greedy import greedy_set_cover
+    from rlsolver_tpu.solvers import milp
+
+    def _milp(inst, seed):
+        res = milp.solve_set_cover(inst)
+        sol = np.asarray(res.solution).astype(np.int64)
+        return sol, -float(sol.sum())
+
+    return {
+        "greedy": lambda inst, seed: greedy_set_cover(inst),
+        "milp": _milp,
+    }
+
+
+def _knapsack_solvers():
+    """Knapsack axis over reference-format files (`util_read_data.py:314-333`,
+    shipped `data/knapsack/knap_*.txt`); objective = total profit."""
+    import jax
+
+    from rlsolver_tpu.classical import knapsack as kp
+    from rlsolver_tpu.solvers import milp
+
+    def _milp(inst, seed):
+        res = milp.solve_knapsack(inst)
+        return np.asarray(res.solution).astype(np.int64), float(res.obj)
+
+    return {
+        "greedy": lambda inst, seed: kp.greedy_knapsack(inst),
+        "dp": lambda inst, seed: kp.dp_knapsack(inst),
+        "branch_and_bound": lambda inst, seed: kp.branch_and_bound_knapsack(inst),
+        "fptas": lambda inst, seed: kp.fptas_knapsack(inst),
+        "sa": lambda inst, seed: kp.sa_knapsack(inst, jax.random.PRNGKey(seed)),
+        "milp": _milp,
+    }
+
+
+def run_instance_problem(problem: str, alg: str, path: str, seed: int, write: bool):
+    """set_cover / knapsack: non-graph instance files with their own readers,
+    objective twins and result files."""
+    from rlsolver_tpu.core.io import read_knapsack, read_set_cover
+    from rlsolver_tpu.problems import objectives as obj
+
+    if problem == "set_cover":
+        inst = read_set_cover(path)
+        solver = _set_cover_solvers()[alg]
+        check_fn, size = obj.obj_set_cover, inst.num_sets
+    else:
+        inst = read_knapsack(path)
+        solver = _knapsack_solvers()[alg]
+        check_fn, size = obj.obj_knapsack, inst.num_items
+    t0 = time.time()
+    sol, value = solver(inst, seed)
+    duration = time.time() - t0
+    sol = np.asarray(sol).astype(np.int64)
+    check = check_fn(sol, inst)
+    assert abs(check - value) < 1e-4, f"solver/objective mismatch: {value} vs {check}"
+    out = None
+    if write:
+        out = write_graph_result(
+            obj=value,
+            running_duration=duration,
+            num_nodes=size,
+            alg_name=alg,
+            solution=sol,
+            instance_file=path,
+            plus1=False,
+        )
+    return value, duration, out
+
+
 def _tsp_solvers():
     """TSP problem axis: `--data-dir` of .tsp files or random instances."""
     from rlsolver_tpu.classical import tsp as ctsp
@@ -292,7 +366,10 @@ def main(argv=None) -> int:
     p.add_argument(
         "--problem",
         default="maxcut",
-        choices=["maxcut", "mis", "mvc", "graph_partitioning", "graph_coloring", "tsp"],
+        choices=[
+            "maxcut", "mis", "mvc", "graph_partitioning", "graph_coloring",
+            "set_cover", "knapsack", "tsp",
+        ],
     )
     p.add_argument("--alg", required=True)
     p.add_argument("--data-dir", default=None, help="directory of gset-format txt files")
@@ -323,6 +400,20 @@ def main(argv=None) -> int:
                 continue
             length, duration = run_tsp(args.alg, f, args.seed)
             print(f"{args.alg} {os.path.basename(f)}: length={length:.1f} time={duration:.2f}s")
+        return 0
+
+    if args.problem in ("set_cover", "knapsack"):
+        registry = _set_cover_solvers() if args.problem == "set_cover" else _knapsack_solvers()
+        if args.alg not in registry:
+            p.error(f"{args.problem} algs: {sorted(registry)}")
+        if not args.data_dir:
+            p.error(f"{args.problem} needs --data-dir of instance files")
+        for f in list_graph_files(args.data_dir, args.prefixes or [""]):
+            value, duration, out = run_instance_problem(
+                args.problem, args.alg, f, args.seed, not args.no_write
+            )
+            print(f"{args.alg} {os.path.basename(f)}: obj={value:.1f} time={duration:.2f}s"
+                  + (f" -> {out}" if out else ""))
         return 0
 
     if args.problem == "maxcut":

@@ -102,3 +102,39 @@ def test_cli_milp_mis_matches_greedy_or_better(capsys):
 
     rc = main(["--problem", "mis", "--alg", "milp", "--graphs", "BA_24_ID0", "--no-write"])
     assert rc == 0
+
+
+def test_cli_instance_problem_axes(tmp_path, capsys):
+    """set_cover / knapsack axes over reference-format instance files
+    (`util_read_data.py:314-344`)."""
+    from rlsolver_tpu.run import main
+
+    data = tmp_path / "data"
+    data.mkdir()
+    (data / "cover_0.txt").write_text("6 4\n1 2 3\n3 4\n4 5 6\n1 6\n")
+    # reference layout (`util_read_data.py:314-333`): id, n, capacity, then
+    # n (weight, profit) pairs
+    (data / "knap_0.txt").write_text("0 4 10\n1 6\n2 5\n3 4\n4 3\n")
+    rc = main(
+        ["--problem", "set_cover", "--alg", "greedy", "--data-dir", str(data),
+         "--prefixes", "cover"]
+    )
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "obj=-2.0" in out  # {1,2,3} + {4,5,6} covers optimally
+    rc = main(
+        ["--problem", "knapsack", "--alg", "dp", "--data-dir", str(data),
+         "--prefixes", "knap", "--no-write"]
+    )
+    assert rc == 0
+    # milp agrees with dp on the tiny instance
+    rc = main(
+        ["--problem", "knapsack", "--alg", "milp", "--data-dir", str(data),
+         "--prefixes", "knap", "--no-write"]
+    )
+    assert rc == 0
+    outs = [l for l in capsys.readouterr().out.splitlines() if "obj=" in l]
+    assert len({l.split("obj=")[1].split()[0] for l in outs}) == 1
+    # result file landed under result/ in the reference format
+    results = list((tmp_path / "result").glob("cover_0*.txt"))
+    assert results and "// obj: -2.0" in results[0].read_text()
