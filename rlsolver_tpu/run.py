@@ -68,13 +68,15 @@ def _bls(g, seed):
     return bits, cut
 
 
-def _local_search(g, seed):
+def _local_search(g, seed, fast=False):
     from rlsolver_tpu.algos.local_search_solver import (
         LocalSearchConfig,
         solve_maxcut_local_search,
     )
 
-    out = solve_maxcut_local_search(g, LocalSearchConfig(seed=seed))
+    out = solve_maxcut_local_search(
+        g, LocalSearchConfig(seed=seed, packed_sweep=fast)
+    )
     return out[0], out[1]
 
 
@@ -88,10 +90,10 @@ def _mcpg(g, seed, fast=False):
     return out[0], out[1]
 
 
-def _l2a(g, seed):
+def _l2a(g, seed, fast=False):
     from rlsolver_tpu.algos.l2a import L2AConfig, solve_maxcut_l2a
 
-    out = solve_maxcut_l2a(g, L2AConfig(seed=seed))
+    out = solve_maxcut_l2a(g, L2AConfig(seed=seed, packed_sweep=fast))
     return out[0], out[1]
 
 
@@ -381,7 +383,8 @@ def main(argv=None) -> int:
         "--fast",
         action="store_true",
         help="use the bit-packed Pallas kernel paths (TPU-only, {0, +-1}-weight "
-        "graphs): MCPG sampler='fused' + sweep_mode='packed'",
+        "graphs): MCPG sampler='fused' + sweep_mode='packed'; packed 1-flip "
+        "sweep for local_search and l2a",
     )
     args = p.parse_args(argv)
 
