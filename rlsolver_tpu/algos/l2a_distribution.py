@@ -230,4 +230,54 @@ def train_l2a_distribution(cfg: L2ADistConfig = L2ADistConfig()):
         "encoder_params": enc_params,
         "validate": validate,
         "history": history,
+        "config": cfg,
     }
+
+
+def evaluate_l2a_distribution(
+    bundle: dict,
+    adjs: List[np.ndarray],
+    num_rounds: int = 16,
+    num_sims: Optional[int] = None,
+    seed: int = 0,
+) -> np.ndarray:
+    """Policy-guided inference on specific instances (dense adjacencies).
+
+    The distribution-trained policy is applied to each instance for
+    `num_rounds` improvement rounds (probs -> top-k resample -> 1-flip sweep
+    -> elitist accept) — the reference's table protocol of evaluating the
+    distribution-wise net on the 10 seeded benchmark instances
+    (`demo_distribution.py:110-125`). Returns the best cut per instance.
+    """
+    cfg: L2ADistConfig = bundle["config"]
+    net, params = bundle["net"], bundle["params"]
+    enc, enc_params = bundle["encoder"], bundle["encoder_params"]
+    sims = num_sims or cfg.num_sims
+
+    @jax.jit
+    def embed(adj):
+        return enc.embed(enc_params, adj[None])[0]
+
+    @jax.jit
+    def improve(key, adj, seq_graph, xs, vs):
+        k_sample, _ = jax.random.split(key)
+        logits, _ = net.apply(params, solution_to_prob_channels(xs), seq_graph)
+        probs = jax.nn.softmax(logits, axis=-1)[..., 0]
+        cand = sub_set_sampling(k_sample, probs, xs, cfg.num_repeats, cfg.top_k)
+        cand = sweep_1flip_adj(cand, adj, cfg.ls_sweeps)
+        cand_vs = _cut_value_adj(cand, adj)
+        vs_r = cand_vs.reshape(cfg.num_repeats, sims)
+        rows = jnp.argmax(vs_r, axis=0) * sims + jnp.arange(sims)
+        return update_xs_by_vs(xs, vs, cand[rows], cand_vs[rows])
+
+    out = []
+    for i, adj_np in enumerate(adjs):
+        adj = jnp.asarray(adj_np)
+        seq = embed(adj)
+        key = jax.random.PRNGKey(seed + 31 * i)
+        xs = jax.random.bernoulli(key, 0.5, (sims, adj.shape[0]))
+        vs = _cut_value_adj(xs, adj)
+        for t in range(num_rounds):
+            xs, vs = improve(jax.random.fold_in(key, t), adj, seq, xs, vs)
+        out.append(float(jnp.max(vs)))
+    return np.asarray(out)

@@ -53,7 +53,10 @@ class StackedGraphs(NamedTuple):
         if any(g.num_nodes != n for g in graphs):
             raise ValueError("all graphs must share num_nodes")
         datas = [SweepData.build(g) for g in graphs]
+        # bucket the neighbor-table width so instance families with nearby
+        # max degrees share one compiled program (tunnel compiles are slow)
         max_deg = max(int(d.nbrs.shape[1]) for d in datas)
+        max_deg = ((max_deg + 31) // 32) * 32
 
         def pad_nbrs(d: SweepData):
             pad = max_deg - d.nbrs.shape[1]

@@ -73,19 +73,17 @@ def bounded_knapsack_pricing(
     if not unit_sizes:
         return np.zeros(len(sizes), np.int64), 0.0
 
-    wi = jnp.asarray(unit_sizes, jnp.int32)
-    pi = jnp.asarray(unit_vals, jnp.float32)
-    c = jnp.arange(cap + 1)
-
-    def scan_item(table, iw_ip):
-        iw, ip = iw_ip
-        shifted = jnp.where(c >= iw, jnp.roll(table, iw) + ip, -jnp.inf)
-        new = jnp.maximum(table, shifted)
-        return new, new
-
-    init = jnp.zeros(cap + 1, jnp.float32)
-    _, tables = jax.lax.scan(scan_item, init, (wi, pi))
-    tables = np.asarray(jnp.concatenate([init[None], tables], axis=0))
+    # vectorized host DP (one row per 0/1 unit item). The pricing problem is
+    # tiny (cap ~ 100, tens of unit items) and sits inside a host-side LP
+    # loop, so numpy beats accelerator dispatch overhead by ~100x here.
+    tables = np.zeros((len(unit_sizes) + 1, cap + 1), np.float64)
+    for j, (iw, ip) in enumerate(zip(unit_sizes, unit_vals)):
+        prev = tables[j]
+        new = prev.copy()
+        if iw <= cap:
+            shifted = prev[: cap + 1 - iw] + ip
+            np.maximum(new[iw:], shifted, out=new[iw:])
+        tables[j + 1] = new
 
     a = np.zeros(len(sizes), np.int64)
     ccur = cap
@@ -158,9 +156,21 @@ def solve_cutting_stock(
             break  # no negative reduced cost: LP optimal
         candidates = [best_a]
         if num_candidates > 1:
+            # distinct near-optimal columns: re-price with one high-dual item
+            # excluded (a K-best-flavored pool; every candidate is still a
+            # feasible pattern, and the policy chooses — the RL action space
+            # of the reference's pricing env, `RL_column_generation/env_CSP.py`)
             order = np.argsort(-duals)
             for i in order[: num_candidates - 1]:
-                candidates.append(np.eye(n, dtype=np.int64)[i] * max_per[i])
+                capped = max_per.copy()
+                capped[i] = 0
+                alt_a, alt_v = bounded_knapsack_pricing(
+                    inst.sizes, inst.roll_width, duals, capped
+                )
+                if 1.0 - alt_v < -tol and not any(
+                    (alt_a == c).all() for c in candidates
+                ):
+                    candidates.append(alt_a)
         choice = policy(duals, candidates)
         chosen = candidates[choice]
         if any((chosen == c).all() for c in cols):

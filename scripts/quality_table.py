@@ -1,0 +1,162 @@
+"""Distribution-wise quality benchmark runner (reference README.md:356-371).
+
+Runs greedy / SA / GA / SDP / random-walk / batched MCPG / distribution-wise
+L2A over 10 seeded instances per (BA/ER/PL) x N, appending rows
+
+    dist,n,id,alg,obj,seconds
+
+to a resumable CSV. One long-lived process so tunnel compiles amortize; the
+N-outer loop order shares compiled programs across distributions.
+
+Usage:  python scripts/quality_table.py [--sizes 100,200,...] [--dists BA,ER,PL]
+        [--algs greedy,sa,ga,sdp,rw,mcpg,l2a] [--out results_quality/dist_table.csv]
+"""
+
+from __future__ import annotations
+
+import argparse
+import csv
+import os
+import time
+
+import numpy as np
+
+
+def existing_rows(path):
+    done = set()
+    if os.path.exists(path):
+        with open(path) as f:
+            for row in csv.reader(f):
+                if row and row[0] != "dist":
+                    done.add((row[0], int(row[1]), int(row[2]), row[3]))
+    return done
+
+
+def append_row(path, dist, n, gid, alg, obj, seconds):
+    with open(path, "a", newline="") as f:
+        csv.writer(f).writerow([dist, n, gid, alg, f"{obj:.1f}", f"{seconds:.1f}"])
+
+
+def run_classical(alg, graph, seed):
+    if alg == "greedy":
+        from rlsolver_tpu.classical.greedy import greedy_maxcut
+
+        return greedy_maxcut(graph)[1]
+    if alg == "sa":
+        from rlsolver_tpu.classical.simulated_annealing import SAConfig, anneal_maxcut
+
+        n = graph.num_nodes
+        cfg = SAConfig(num_chains=256, num_steps=max(2000, 12 * n), seed=seed)
+        return anneal_maxcut(graph, cfg)[1]
+    if alg == "ga":
+        from rlsolver_tpu.classical.genetic import GAConfig, genetic_maxcut
+
+        gens = 40 if graph.num_nodes <= 400 else 64
+        return genetic_maxcut(graph, GAConfig(generations=gens, seed=seed))[1]
+    if alg == "sdp":
+        from rlsolver_tpu.classical.sdp import SDPConfig, sdp_maxcut
+
+        return sdp_maxcut(graph, SDPConfig(seed=seed))[1]
+    if alg == "rw":
+        from rlsolver_tpu.classical.random_walk import random_walk_maxcut
+
+        return random_walk_maxcut(graph, seed=seed)[1]
+    raise ValueError(alg)
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--sizes", default="100,200,300,400,500,600,700,800,900,1000")
+    p.add_argument("--dists", default="BA,ER,PL")
+    p.add_argument("--algs", default="greedy,sa,ga,sdp,rw,mcpg,l2a")
+    p.add_argument("--ids", type=int, default=10)
+    p.add_argument("--out", default="results_quality/dist_table.csv")
+    args = p.parse_args()
+
+    from rlsolver_tpu.config import GraphType
+    from rlsolver_tpu.core.generate import graph_from_name
+
+    sizes = [int(s) for s in args.sizes.split(",")]
+    dists = args.dists.split(",")
+    algs = args.algs.split(",")
+    os.makedirs(os.path.dirname(args.out), exist_ok=True)
+    if not os.path.exists(args.out):
+        with open(args.out, "w", newline="") as f:
+            csv.writer(f).writerow(["dist", "n", "id", "alg", "obj", "seconds"])
+    done = existing_rows(args.out)
+
+    for n in sizes:
+        for dist in dists:
+            names = [f"{dist}_{n}_ID{i}" for i in range(args.ids)]
+            graphs = None
+
+            def get_graphs():
+                nonlocal graphs
+                if graphs is None:
+                    graphs = [graph_from_name(nm) for nm in names]
+                return graphs
+
+            for alg in algs:
+                todo = [i for i in range(args.ids) if (dist, n, i, alg) not in done]
+                if not todo:
+                    continue
+                print(f"== {dist}_{n} {alg} ({len(todo)} instances)", flush=True)
+                try:
+                    if alg == "mcpg":
+                        from rlsolver_tpu.algos.mcpg import MCPGConfig
+                        from rlsolver_tpu.algos.mcpg_batch import (
+                            solve_maxcut_mcpg_batched,
+                        )
+
+                        gs = [get_graphs()[i] for i in todo]
+                        cfg = MCPGConfig(
+                            total_mcmc_num=256,
+                            repeat_times=32,
+                            num_ls=8,
+                            max_epoch_num=6,
+                            reset_epoch_num=64,
+                        )
+                        t0 = time.time()
+                        _, bv, _ = solve_maxcut_mcpg_batched(gs, cfg)
+                        dt = (time.time() - t0) / len(todo)
+                        for k, i in enumerate(todo):
+                            append_row(args.out, dist, n, i, alg, float(bv[k]), dt)
+                    elif alg == "l2a":
+                        from rlsolver_tpu.algos.l2a_distribution import (
+                            L2ADistConfig,
+                            evaluate_l2a_distribution,
+                            train_l2a_distribution,
+                        )
+
+                        cfg = L2ADistConfig(
+                            graph_type=GraphType(dist),
+                            num_nodes=n,
+                            num_sims=256,
+                            num_repeats=4,
+                            top_k=max(8, n // 32),
+                            seq_len=8,
+                            num_iters=40,
+                            embed_dim=32,
+                            pretrain_steps=100,
+                            ls_sweeps=2,
+                            num_validation=0,
+                        )
+                        t0 = time.time()
+                        bundle = train_l2a_distribution(cfg)
+                        adjs = [get_graphs()[i].adjacency_dense() for i in todo]
+                        vals = evaluate_l2a_distribution(bundle, adjs, num_rounds=16)
+                        dt = (time.time() - t0) / len(todo)
+                        for k, i in enumerate(todo):
+                            append_row(args.out, dist, n, i, alg, float(vals[k]), dt)
+                    else:
+                        for i in todo:
+                            t0 = time.time()
+                            v = float(run_classical(alg, get_graphs()[i], seed=i))
+                            append_row(args.out, dist, n, i, alg, v, time.time() - t0)
+                except Exception as e:  # keep the sweep going; log and move on
+                    print(f"!! {dist}_{n} {alg} failed: {e!r}", flush=True)
+    print("done", flush=True)
+
+
+if __name__ == "__main__":
+    main()

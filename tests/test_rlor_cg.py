@@ -58,7 +58,10 @@ def test_cutting_stock_policy_hook():
         return best_reduced_cost(duals, candidates)
 
     res = solve_cutting_stock(inst, policy=greedy_policy, num_candidates=3)
-    assert calls and all(c == 3 for c in calls)
+    # pool holds the exact pricing column plus distinct negative-reduced-cost
+    # alternatives (when they exist)
+    assert calls and all(1 <= c <= 3 for c in calls)
+    assert any(c > 1 for c in calls)
     assert res.int_value >= res.lp_value - 1e-6
 
 
