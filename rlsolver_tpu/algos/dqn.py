@@ -239,6 +239,138 @@ class DQNAgent:
 
         return params, history
 
+    # -------------------------------------------------- unified-runtime path
+    def train_runner(
+        self,
+        graph: Graph,
+        num_steps: int,
+        run_dir: str = "runs/dqn",
+        checkpoint_every: int = 0,
+        resume: bool = False,
+        log_every: int = 50,
+    ):
+        """Single-graph DQN through `train/runner.py:TrainLoop`: the whole
+        act/step/replay/train/target-sync/episode-reset cycle is ONE jitted
+        step over a resumable state pytree (params, target, opt state,
+        replay buffer, env state, PRNG key, counters) — checkpoint/resume +
+        metrics.jsonl + stop sentinel on the Pattern-I trainer (reference
+        runtime capabilities: `AgentBase.py:280-299`, `run.py:130`).
+        Returns (params, final_state)."""
+        from rlsolver_tpu.train.runner import LoopConfig, TrainLoop
+
+        cfg = self.cfg
+        env = self.env
+        params_env = env.params_from_graph(graph)
+
+        class DQNLoopState(NamedTuple):
+            params: dict
+            target_params: dict
+            opt_state: optax.OptState
+            buf: ReplayBuffer
+            env_state: object
+            obs: jax.Array
+            key: jax.Array
+            step_idx: jax.Array  # int32
+            train_steps: jax.Array  # int32
+            best_cut: jax.Array  # f32 running best over episodes
+
+        target_sync = max(1, cfg.target_update_frequency // cfg.update_frequency)
+
+        def step_fn(state: DQNLoopState):
+            key, k_act, k_sample, k_reset = jax.random.split(state.key, 4)
+            frac = jnp.minimum(1.0, state.step_idx / cfg.eps_decay_steps)
+            eps = cfg.eps_start + frac * (cfg.eps_end - cfg.eps_start)
+            mask = env.allowed_action_mask(state.env_state)
+            actions = self._act(
+                state.params, state.obs, params_env.adj, mask, k_act, eps
+            )
+            env_state, next_obs, rew, done = env.step(
+                params_env, state.env_state, actions
+            )
+            buf = buffer_add(state.buf, state.obs, actions, rew, next_obs, done)
+
+            do_train = jnp.logical_and(
+                buf.size >= cfg.learning_starts,
+                state.step_idx % cfg.update_frequency == 0,
+            )
+
+            def train_branch(args):
+                params, target_params, opt_state, train_steps = args
+                batch = buffer_sample(buf, k_sample, cfg.batch_size)
+                params, opt_state, loss = self._train_step(
+                    params, target_params, opt_state, batch, params_env.adj
+                )
+                train_steps = train_steps + 1
+                target_params = jax.tree.map(
+                    lambda t, p: jnp.where(train_steps % target_sync == 0, p, t),
+                    target_params,
+                    params,
+                )
+                return params, target_params, opt_state, train_steps, loss
+
+            def skip_branch(args):
+                params, target_params, opt_state, train_steps = args
+                return params, target_params, opt_state, train_steps, jnp.float32(0)
+
+            params, target_params, opt_state, train_steps, loss = jax.lax.cond(
+                do_train,
+                train_branch,
+                skip_branch,
+                (state.params, state.target_params, state.opt_state,
+                 state.train_steps),
+            )
+
+            best_cut = jnp.maximum(
+                state.best_cut, jnp.max(env_state.best_score)
+            )
+            # episode boundary: fixed-graph reset (SingleGraphGenerator mode)
+            reset_state, reset_obs = env.reset(params_env, k_reset)
+            ep_done = done[0]
+            env_state = jax.tree.map(
+                lambda r, c: jnp.where(ep_done, r, c), reset_state, env_state
+            )
+            obs = jnp.where(ep_done, reset_obs, next_obs)
+            metrics = {"loss": loss, "best_cut": best_cut, "eps": eps}
+            return (
+                DQNLoopState(
+                    params, target_params, opt_state, buf, env_state, obs,
+                    key, state.step_idx + 1, train_steps, best_cut,
+                ),
+                metrics,
+            )
+
+        key = jax.random.PRNGKey(cfg.seed)
+        key, k_init, k_reset = jax.random.split(key, 3)
+        params = self.init_params(k_init, params_env)
+        env_state, obs = env.reset(params_env, k_reset)
+        state = DQNLoopState(
+            params=params,
+            target_params=params,
+            opt_state=self.optimizer.init(params),
+            buf=ReplayBuffer.create(
+                cfg.buffer_capacity, env.num_nodes, env.config.num_observables
+            ),
+            env_state=env_state,
+            obs=obs,
+            key=key,
+            step_idx=jnp.int32(0),
+            train_steps=jnp.int32(0),
+            best_cut=jnp.float32(-jnp.inf),
+        )
+        loop = TrainLoop(
+            LoopConfig(
+                run_dir=run_dir,
+                total_steps=num_steps,
+                log_every=log_every,
+                checkpoint_every=checkpoint_every,
+                resume=resume,
+                samples_per_step=env.config.num_envs,
+            ),
+            step_fn,
+        )
+        state = loop.run(state)
+        return state.params, state
+
     # ------------------------------------------------------------- inference
     def evaluate(self, params, graph: Graph, key: Optional[jax.Array] = None) -> float:
         """Greedy rollout on one graph over the vectorized envs; returns the

@@ -112,27 +112,11 @@ class RolloutBatch(NamedTuple):
     logprobs: jax.Array  # f32 [T, B]
 
 
-def solve_maxcut_l2a(
-    graph: Graph,
-    cfg: L2AConfig = L2AConfig(),
-    instance_file: Optional[str] = None,
-    save_dir: Optional[str] = None,
-    verbose: bool = False,
-):
-    """Instance-wise dREINFORCE. Returns (best_x, best_v, evaluator)."""
-    env = MaxcutEnv(graph, packed_sweep=cfg.packed_sweep)
-    n = graph.num_nodes
-    key = jax.random.PRNGKey(cfg.seed)
-    key, k_pre = jax.random.split(key)
-    _, _, seq_graph = pretrain_graph_encoder(graph, cfg, k_pre)
-
-    net = PolicyTrsWithValue(embed_dim=cfg.embed_dim, num_heads=cfg.num_heads)
-    key, k_init = jax.random.split(key)
-    params = net.init(
-        k_init, solution_to_prob_channels(jnp.zeros((cfg.num_sims, n), bool)), seq_graph
-    )
-    optimizer = optax.chain(optax.clip_by_global_norm(1.0), optax.adam(cfg.lr))
-    opt_state = optimizer.init(params)
+def _build_l2a_steps(env: MaxcutEnv, net, seq_graph, cfg: L2AConfig, optimizer):
+    """Shared jittable pieces of the dREINFORCE loop: one policy-guided
+    improvement step and the PPO+GAE update. Used by both the classic host
+    loop (`solve_maxcut_l2a`) and the unified-runtime path
+    (`solve_maxcut_l2a_runner`)."""
 
     def rollout_step(key, params, best_xs, best_vs):
         """One policy-guided improvement step; returns transition pieces."""
@@ -156,8 +140,6 @@ def solve_maxcut_l2a(
             jnp.log(jnp.clip(jnp.where(new_xs, probs, 1 - probs), 0.005, 0.995)), axis=1
         )
         return new_xs, new_vs, reward, logprob
-
-    rollout_jit = jax.jit(rollout_step)
 
     def ppo_update(key, params, opt_state, batch: RolloutBatch):
         states, rewards, logprobs = batch
@@ -230,6 +212,37 @@ def solve_maxcut_l2a(
         )
         return params, opt_state, losses
 
+    return rollout_step, ppo_update
+
+
+def _l2a_setup(graph: Graph, cfg: L2AConfig):
+    """Common setup: env, encoder pretrain, policy net, optimizer."""
+    env = MaxcutEnv(graph, packed_sweep=cfg.packed_sweep)
+    n = graph.num_nodes
+    key = jax.random.PRNGKey(cfg.seed)
+    key, k_pre = jax.random.split(key)
+    _, _, seq_graph = pretrain_graph_encoder(graph, cfg, k_pre)
+    net = PolicyTrsWithValue(embed_dim=cfg.embed_dim, num_heads=cfg.num_heads)
+    key, k_init = jax.random.split(key)
+    params = net.init(
+        k_init, solution_to_prob_channels(jnp.zeros((cfg.num_sims, n), bool)), seq_graph
+    )
+    optimizer = optax.chain(optax.clip_by_global_norm(1.0), optax.adam(cfg.lr))
+    opt_state = optimizer.init(params)
+    return env, n, key, seq_graph, net, params, optimizer, opt_state
+
+
+def solve_maxcut_l2a(
+    graph: Graph,
+    cfg: L2AConfig = L2AConfig(),
+    instance_file: Optional[str] = None,
+    save_dir: Optional[str] = None,
+    verbose: bool = False,
+):
+    """Instance-wise dREINFORCE. Returns (best_x, best_v, evaluator)."""
+    env, n, key, seq_graph, net, params, optimizer, opt_state = _l2a_setup(graph, cfg)
+    rollout_step, ppo_update = _build_l2a_steps(env, net, seq_graph, cfg, optimizer)
+    rollout_jit = jax.jit(rollout_step)
     ppo_jit = jax.jit(ppo_update)
 
     key, k_xs = jax.random.split(key)
@@ -267,3 +280,82 @@ def solve_maxcut_l2a(
             instance_file,
         )
     return evaluator.best_x, evaluator.best_v, evaluator
+
+
+class L2ALoopState(NamedTuple):
+    """Full resumable state for the TrainLoop-driven dREINFORCE run."""
+
+    params: dict
+    opt_state: optax.OptState
+    key: jax.Array
+    best_xs: jax.Array
+    best_vs: jax.Array
+
+
+def solve_maxcut_l2a_runner(
+    graph: Graph,
+    cfg: L2AConfig = L2AConfig(),
+    run_dir: str = "runs/l2a",
+    checkpoint_every: int = 0,
+    resume: bool = False,
+    log_every: int = 1,
+):
+    """Instance-wise dREINFORCE through the unified runtime
+    (`train/runner.py:TrainLoop`): one step = the full seq_len rollout (as a
+    `lax.scan`) + the PPO update, so checkpoint/resume, metrics.jsonl, and
+    the stop sentinel cover the whole training state (params, opt state,
+    PRNG key, incumbent archive). Returns (best_x, best_v, final_state)."""
+    from rlsolver_tpu.train.runner import LoopConfig, TrainLoop
+
+    env, n, key, seq_graph, net, params, optimizer, opt_state = _l2a_setup(graph, cfg)
+    rollout_step, ppo_update = _build_l2a_steps(env, net, seq_graph, cfg, optimizer)
+
+    def step_fn(state: L2ALoopState):
+        key, k_roll, k_ppo = jax.random.split(state.key, 3)
+
+        def roll(carry, k):
+            xs, vs = carry
+            new_xs, new_vs, reward, logprob = rollout_step(
+                k, state.params, xs, vs
+            )
+            return (new_xs, new_vs), (new_xs, reward, logprob)
+
+        (best_xs, best_vs), (step_states, rewards, logprobs) = jax.lax.scan(
+            roll, (state.best_xs, state.best_vs),
+            jax.random.split(k_roll, cfg.seq_len),
+        )
+        states = jnp.concatenate([state.best_xs[None], step_states], axis=0)
+        batch = RolloutBatch(states=states, rewards=rewards, logprobs=logprobs)
+        params, opt_state, losses = ppo_update(
+            k_ppo, state.params, state.opt_state, batch
+        )
+        metrics = {
+            "best_cut": jnp.max(best_vs),
+            "mean_cut": jnp.mean(best_vs),
+            "ppo_loss": jnp.mean(losses),
+        }
+        return L2ALoopState(params, opt_state, key, best_xs, best_vs), metrics
+
+    key, k_xs = jax.random.split(key)
+    best_xs = env.random_xs(k_xs, cfg.num_sims)
+    state = L2ALoopState(
+        params=params,
+        opt_state=opt_state,
+        key=key,
+        best_xs=best_xs,
+        best_vs=env.obj(best_xs),
+    )
+    loop = TrainLoop(
+        LoopConfig(
+            run_dir=run_dir,
+            total_steps=cfg.num_iters,
+            log_every=log_every,
+            checkpoint_every=checkpoint_every,
+            resume=resume,
+            samples_per_step=cfg.seq_len * cfg.num_sims * cfg.num_repeats,
+        ),
+        step_fn,
+    )
+    state = loop.run(state)
+    top = int(jnp.argmax(state.best_vs))
+    return np.asarray(state.best_xs[top]), float(state.best_vs[top]), state

@@ -179,6 +179,115 @@ def _build_steps(env: MaxcutEnv, data: SweepData, cfg: MCPGConfig):
     return policy, optimizer, sample_step, reduce_step, update_step
 
 
+class MCPGLoopState(NamedTuple):
+    """Full resumable state for the TrainLoop-driven MCPG run."""
+
+    params: dict
+    opt_state: optax.OptState
+    key: jax.Array
+    best_xs: jax.Array
+    best_vs: jax.Array
+    start_bits: jax.Array
+    round_idx: jax.Array  # int32 scalar
+
+
+def solve_maxcut_mcpg_runner(
+    graph: Graph,
+    cfg: MCPGConfig = MCPGConfig(),
+    run_dir: str = "runs/mcpg",
+    total_rounds: Optional[int] = None,
+    checkpoint_every: int = 0,
+    resume: bool = False,
+    log_every: int = 1,
+):
+    """MCPG through the unified runtime (`train/runner.py:TrainLoop`):
+    checkpoint/resume (full state incl. PRNG key + incumbent archive),
+    metrics.jsonl stream, and the graceful-stop sentinel are live — the
+    ElegantRL-runtime capabilities (`elegantrl/train/run.py:130`,
+    `AgentBase.py:280-299`) on the flagship solver.
+
+    The reference's per-epoch policy reset (`MCPG.py:366-367`) is folded
+    into the jitted step as a masked reset on `round_idx % rounds_per_epoch
+    == 0` (BernoulliPolicy init is zeros, Adam state starts at zeros, so the
+    reset is a tree of zeros — jit-friendly). Returns (best_x, best_v,
+    final_state).
+    """
+    from rlsolver_tpu.train.runner import LoopConfig, TrainLoop
+
+    env = MaxcutEnv(graph, packed_sweep=cfg.sweep_mode == "packed")
+    data = SweepData.build(graph)
+    C, R = cfg.total_mcmc_num, cfg.repeat_times
+    policy, optimizer, sample_step, reduce_step, update_step = _build_steps(
+        env, data, cfg
+    )
+    rounds_per_epoch = max(1, cfg.reset_epoch_num // cfg.sample_epoch_num)
+    if total_rounds is None:
+        total_rounds = cfg.max_epoch_num * rounds_per_epoch
+
+    def step_fn(state: MCPGLoopState):
+        do_reset = (state.round_idx % rounds_per_epoch) == 0
+        zeros = jax.tree.map(jnp.zeros_like, (state.params, state.opt_state))
+        params, opt_state = jax.tree.map(
+            lambda z, v: jnp.where(do_reset, z, v),
+            zeros,
+            (state.params, state.opt_state),
+        )
+        key, k_s = jax.random.split(state.key)
+        probs = policy.apply(params)
+        mh, ls_bits, cuts = sample_step(k_s, probs, state.start_bits)
+        best_xs, best_vs, start_bits = reduce_step(
+            ls_bits, cuts, state.best_xs, state.best_vs
+        )
+        params, opt_state = update_step(params, opt_state, mh, cuts)
+        metrics = {
+            "best_cut": jnp.max(best_vs),
+            "mean_cut": jnp.mean(cuts),
+        }
+        return (
+            MCPGLoopState(
+                params, opt_state, key, best_xs, best_vs, start_bits,
+                state.round_idx + 1,
+            ),
+            metrics,
+        )
+
+    key = jax.random.PRNGKey(cfg.seed)
+    key, k_init, k_ws, k_p = jax.random.split(key, 4)
+    xs = env.random_xs(k_init, C)
+    vs = env.obj(xs)
+    for _ in range(cfg.warmup_ls_rounds):
+        key, k = jax.random.split(key)
+        xs, vs = jax.jit(env.local_search)(k, xs, vs)
+    params = policy.init(k_p)
+    state = MCPGLoopState(
+        params=params,
+        opt_state=optimizer.init(params),
+        key=key,
+        best_xs=xs,
+        best_vs=vs,
+        start_bits=jnp.tile(xs, (R, 1)),
+        round_idx=jnp.int32(0),
+    )
+    loop = TrainLoop(
+        LoopConfig(
+            run_dir=run_dir,
+            total_steps=total_rounds,
+            log_every=log_every,
+            checkpoint_every=checkpoint_every,
+            resume=resume,
+            samples_per_step=R * C,
+        ),
+        step_fn,
+    )
+    state = loop.run(state)
+    top = int(jnp.argmax(state.best_vs))
+    return (
+        np.asarray(state.best_xs[top]),
+        float(state.best_vs[top]),
+        state,
+    )
+
+
 def solve_maxcut_mcpg(
     graph: Graph,
     cfg: MCPGConfig = MCPGConfig(),
