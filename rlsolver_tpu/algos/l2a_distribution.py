@@ -237,7 +237,7 @@ def train_l2a_distribution(cfg: L2ADistConfig = L2ADistConfig()):
 def evaluate_l2a_distribution(
     bundle: dict,
     adjs: List[np.ndarray],
-    num_rounds: int = 16,
+    num_rounds: int = 48,
     num_sims: Optional[int] = None,
     seed: int = 0,
 ) -> np.ndarray:
@@ -247,18 +247,18 @@ def evaluate_l2a_distribution(
     `num_rounds` improvement rounds (probs -> top-k resample -> 1-flip sweep
     -> elitist accept) — the reference's table protocol of evaluating the
     distribution-wise net on the 10 seeded benchmark instances
-    (`demo_distribution.py:110-125`). Returns the best cut per instance.
+    (`demo_distribution.py:110-125`). TPU-first: the instances are stacked
+    on a leading axis and the whole rollout (vmap over instances, `lax.scan`
+    over rounds, a final sweep-to-convergence polish) is ONE jitted call.
+    Returns the best cut per instance.
     """
     cfg: L2ADistConfig = bundle["config"]
     net, params = bundle["net"], bundle["params"]
     enc, enc_params = bundle["encoder"], bundle["encoder_params"]
     sims = num_sims or cfg.num_sims
+    adj_stack = jnp.asarray(np.stack(adjs))  # [G, N, N]
+    num_graphs, n = adj_stack.shape[0], adj_stack.shape[1]
 
-    @jax.jit
-    def embed(adj):
-        return enc.embed(enc_params, adj[None])[0]
-
-    @jax.jit
     def improve(key, adj, seq_graph, xs, vs):
         k_sample, _ = jax.random.split(key)
         logits, _ = net.apply(params, solution_to_prob_channels(xs), seq_graph)
@@ -270,14 +270,33 @@ def evaluate_l2a_distribution(
         rows = jnp.argmax(vs_r, axis=0) * sims + jnp.arange(sims)
         return update_xs_by_vs(xs, vs, cand[rows], cand_vs[rows])
 
-    out = []
-    for i, adj_np in enumerate(adjs):
-        adj = jnp.asarray(adj_np)
-        seq = embed(adj)
-        key = jax.random.PRNGKey(seed + 31 * i)
-        xs = jax.random.bernoulli(key, 0.5, (sims, adj.shape[0]))
-        vs = _cut_value_adj(xs, adj)
-        for t in range(num_rounds):
-            xs, vs = improve(jax.random.fold_in(key, t), adj, seq, xs, vs)
-        out.append(float(jnp.max(vs)))
-    return np.asarray(out)
+    block_len = 8  # rounds per jit call (giant single scans compile slowly)
+
+    def block_one(adj, seq, xs, vs, key):
+        def body(carry, k):
+            xs, vs = carry
+            return improve(k, adj, seq, xs, vs), None
+
+        (xs, vs), _ = jax.lax.scan(
+            body, (xs, vs), jax.random.split(key, block_len)
+        )
+        return xs, vs
+
+    block_v = jax.jit(jax.vmap(block_one))
+
+    def polish_one(adj, xs, vs):
+        xs = sweep_1flip_adj(xs, adj, 4)
+        return jnp.max(jnp.maximum(vs, _cut_value_adj(xs, adj)))
+
+    polish_v = jax.jit(jax.vmap(polish_one))
+    embed_v = jax.jit(jax.vmap(lambda adj: enc.embed(enc_params, adj[None])[0]))
+
+    key = jax.random.PRNGKey(seed)
+    keys = jax.random.split(key, num_graphs)
+    seqs = embed_v(adj_stack)
+    xs = jax.vmap(lambda k: jax.random.bernoulli(k, 0.5, (sims, n)))(keys)
+    vs = jax.jit(jax.vmap(_cut_value_adj))(xs, adj_stack)
+    for b in range(max(1, num_rounds // block_len)):
+        key, k = jax.random.split(key)
+        xs, vs = block_v(adj_stack, seqs, xs, vs, jax.random.split(k, num_graphs))
+    return np.asarray(polish_v(adj_stack, xs, vs))

@@ -83,6 +83,7 @@ def comparison_table(
     baseline_method: Optional[str] = None,
     maximize: bool = True,
     agg: str = "best",
+    bound_method: Optional[str] = None,
 ) -> pd.DataFrame:
     """Pivot to instance x method objective table.
 
@@ -110,6 +111,23 @@ def comparison_table(
             table[f"gap_vs_{baseline_method}:{method}"] = (
                 sign * (base - table[method]) / base.abs().replace(0, np.nan)
             )
+    if bound_method is not None and "obj_bound" in frame.columns:
+        # the reference tables' "obj bound" column (`gurobi.py:135-156`):
+        # dual bound of the time-limited exact solver, plus per-method gaps
+        bounds = (
+            frame[frame["method"] == bound_method]
+            .groupby("instance")["obj_bound"]
+            .max()
+        )
+        if not bounds.dropna().empty:
+            table["obj_bound"] = bounds
+            sign = 1.0 if maximize else -1.0
+            for method in [c for c in table.columns
+                           if c != "obj_bound" and not str(c).startswith("gap")]:
+                table[f"gap_to_bound:{method}"] = (
+                    sign * (table["obj_bound"] - table[method])
+                    / table["obj_bound"].abs().replace(0, np.nan)
+                )
     return table
 
 

@@ -131,11 +131,19 @@ def _l2o(g, seed):
     return bits, cut
 
 
+MILP_TIME_LIMIT = 60.0  # set by --milp-time-limit
+
+
 def _milp(g, seed):
     from rlsolver_tpu.solvers.milp import solve_maxcut
 
-    res = solve_maxcut(g)
-    return res.solution.astype(bool), res.obj
+    res = solve_maxcut(g, time_limit=MILP_TIME_LIMIT)
+    gap = (res.bound - res.obj) / max(1e-9, abs(res.obj))
+    return (
+        res.solution.astype(bool),
+        res.obj,
+        {"obj_bound": res.bound, "gap": gap, "time_limit": MILP_TIME_LIMIT},
+    )
 
 
 SOLVERS: Dict[str, Solver] = {
@@ -237,9 +245,14 @@ def run_one(
 
     solver = SOLVERS[alg] if problem == "maxcut" else _graph_problem_solvers()[problem][alg]
     if "fast" in inspect.signature(solver).parameters:
-        bits, value = solver(graph, seed, fast=fast)
+        out = solver(graph, seed, fast=fast)
     else:
-        bits, value = solver(graph, seed)
+        out = solver(graph, seed)
+    # solvers may return (bits, value) or (bits, value, info) — info carries
+    # solver-side metadata like the MILP dual bound (the reference's "obj
+    # bound" column, `gurobi.py:135-156`)
+    bits, value = out[0], out[1]
+    info = out[2] if len(out) > 2 else None
     duration = time.time() - t0
     bits = np.asarray(bits).astype(np.int64)
     _check_solution(problem, bits, value, graph)
@@ -252,6 +265,7 @@ def run_one(
             alg_name=alg,
             solution=bits,
             instance_file=instance_path,
+            info=info,
         )
     return value, duration, path
 
@@ -386,7 +400,16 @@ def main(argv=None) -> int:
         "graphs): MCPG sampler='fused' + sweep_mode='packed'; packed 1-flip "
         "sweep for local_search and l2a",
     )
+    p.add_argument(
+        "--milp-time-limit",
+        type=float,
+        default=60.0,
+        help="HiGHS wall-clock limit for --alg milp; the dual bound and gap "
+        "are written into the result file (reference 'obj bound' column)",
+    )
     args = p.parse_args(argv)
+    global MILP_TIME_LIMIT
+    MILP_TIME_LIMIT = args.milp_time_limit
 
     if args.problem == "tsp":
         solvers = _tsp_solvers()

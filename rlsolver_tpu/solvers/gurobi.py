@@ -46,6 +46,60 @@ def _require():
         )
 
 
+def solve_qubo(
+    q: np.ndarray, const: float = 0.0, time_limit: float = 3600.0
+) -> GurobiResult:
+    """Generic QUBO: maximize x^T Q x + const over binary x. The Q matrices
+    come from `solvers/formulations.py` (shared with the license-free tests
+    and the HiGHS adapter), mirroring the reference's QUBO formulation
+    switch (`gurobi.py:331-336`, `config.py:82`)."""
+    _require()
+    n = q.shape[0]
+    model = gp.Model("qubo")
+    model.Params.TimeLimit = time_limit
+    model.Params.OutputFlag = 0
+    x = model.addVars(n, vtype=GRB.BINARY, name="x")
+    obj = gp.quicksum(
+        float(q[i, j]) * x[i] * x[j]
+        for i in range(n)
+        for j in range(n)
+        if q[i, j] != 0.0
+    )
+    model.setObjective(obj + float(const), GRB.MAXIMIZE)
+    model.optimize()
+    sol = (
+        np.array([int(round(x[i].X)) for i in range(n)])
+        if model.SolCount
+        else np.array([])
+    )
+    return GurobiResult(
+        obj=model.ObjVal if model.SolCount else float("nan"),
+        bound=model.ObjBound,
+        gap=model.MIPGap if model.SolCount else float("inf"),
+        solution=sol,
+        status=model.Status,
+    )
+
+
+def solve_problem_qubo(
+    problem: str, graph: Graph, time_limit: float = 3600.0
+) -> GurobiResult:
+    """Per-problem QUBO dispatch over the shared formulation builders
+    (reference breadth: `gurobi.py:301-413`)."""
+    from rlsolver_tpu.solvers import formulations as F
+
+    builders = {
+        "maxcut": F.qubo_maxcut,
+        "mis": F.qubo_mis,
+        "mvc": F.qubo_mvc,
+        "graph_partitioning": F.qubo_graph_partitioning,
+    }
+    if problem not in builders:
+        raise ValueError(f"no QUBO formulation for {problem!r}")
+    q, const = builders[problem](graph)
+    return solve_qubo(q, const, time_limit)
+
+
 def solve_maxcut(
     graph: Graph, time_limit: float = 3600.0, formulation: str = "qubo"
 ) -> GurobiResult:

@@ -3,6 +3,7 @@
 import os
 
 import numpy as np
+import pytest
 
 from rlsolver_tpu.eval.statistics import (
     collect_results,
@@ -64,3 +65,36 @@ def test_collect_and_pivot(tmp_path):
         t2[["greedy", "mcpg", "gurobi"]].values,
         table[["greedy", "mcpg", "gurobi"]].values,
     )
+
+
+def test_bound_column_and_gaps(tmp_path):
+    """`bound_method` adds the reference's "obj bound" column plus
+    per-method gap-to-bound columns (`gurobi.py:135-156` capability)."""
+    root = str(tmp_path / "result")
+    _write(f"{root}/maxcut_mcpg/BA_100_ID0_10.txt", 131, "mcpg")
+    _write(f"{root}/maxcut_milp/BA_100_ID0_60.txt", 128, "milp", bound=140)
+    frame = collect_results(root)
+    table = comparison_table(frame, bound_method="milp")
+    assert table.loc["BA_100_ID0", "obj_bound"] == 140
+    # mcpg gap to bound: (140 - 131) / 140
+    assert table.loc["BA_100_ID0", "gap_to_bound:mcpg"] == pytest.approx(9 / 140)
+
+
+def test_cli_milp_writes_bound(tmp_path, monkeypatch):
+    """--alg milp result files carry obj_bound/gap headers end-to-end."""
+    import rlsolver_tpu.run as run_mod
+    from rlsolver_tpu.core.result import read_graph_result
+
+    monkeypatch.chdir(tmp_path)
+    (tmp_path / "data").mkdir()
+    # small instance so HiGHS solves instantly
+    rc = run_mod.main(
+        ["--alg", "milp", "--graphs", "BA_16_ID0", "--milp-time-limit", "30"]
+    )
+    assert rc == 0
+    result_dir = tmp_path / "result"
+    files = list(result_dir.glob("**/*.txt"))
+    assert files
+    header, _ = read_graph_result(str(files[0]))
+    assert "obj_bound" in header and "gap" in header
+    assert float(header["obj_bound"]) >= float(header["obj"]) - 1e-6
