@@ -260,7 +260,7 @@ def evaluate_l2a_distribution(
     num_graphs, n = adj_stack.shape[0], adj_stack.shape[1]
 
     def improve(key, adj, seq_graph, xs, vs):
-        k_sample, _ = jax.random.split(key)
+        k_sample, k_noise = jax.random.split(key)
         logits, _ = net.apply(params, solution_to_prob_channels(xs), seq_graph)
         probs = jax.nn.softmax(logits, axis=-1)[..., 0]
         cand = sub_set_sampling(k_sample, probs, xs, cfg.num_repeats, cfg.top_k)
@@ -268,7 +268,18 @@ def evaluate_l2a_distribution(
         cand_vs = _cut_value_adj(cand, adj)
         vs_r = cand_vs.reshape(cfg.num_repeats, sims)
         rows = jnp.argmax(vs_r, axis=0) * sims + jnp.arange(sims)
-        return update_xs_by_vs(xs, vs, cand[rows], cand_vs[rows])
+        xs, vs = update_xs_by_vs(xs, vs, cand[rows], cand_vs[rows])
+        # perturb-and-sweep move (`env_L2A.py:92-107` local-search phase 1):
+        # flip the num_spin highest noisy-gain bits, re-sweep, accept if better
+        gains = flip_gains_adj(xs, adj)
+        noisy = gains + jax.random.normal(k_noise, gains.shape) * (
+            0.25 * jnp.std(gains, axis=1, keepdims=True) + 1e-3
+        )
+        k_spin = max(2, cfg.top_k // 2)
+        thresh = jnp.sort(noisy, axis=1)[:, -k_spin][:, None]
+        pert = jnp.logical_xor(xs, noisy >= thresh)
+        pert = sweep_1flip_adj(pert, adj, cfg.ls_sweeps)
+        return update_xs_by_vs(xs, vs, pert, _cut_value_adj(pert, adj))
 
     block_len = 8  # rounds per jit call (giant single scans compile slowly)
 

@@ -144,7 +144,7 @@ def main():
                         t0 = time.time()
                         bundle = train_l2a_distribution(cfg)
                         adjs = [get_graphs()[i].adjacency_dense() for i in todo]
-                        vals = evaluate_l2a_distribution(bundle, adjs, num_rounds=48, num_sims=512)
+                        vals = evaluate_l2a_distribution(bundle, adjs, num_rounds=96, num_sims=512)
                         dt = (time.time() - t0) / len(todo)
                         for k, i in enumerate(todo):
                             append_row(args.out, dist, n, i, alg, float(vals[k]), dt)
