@@ -174,10 +174,15 @@ class DQNAgent:
         num_steps: int,
         eval_every: int = 0,
         eval_graphs: Optional[list] = None,
+        select_best: bool = False,
         verbose: bool = False,
     ):
         """graph_sampler(i) -> Graph for episode i (distribution training).
-        Returns (params, history dict)."""
+        Returns (params, history dict). With `select_best` (and periodic
+        eval configured), the returned params are the checkpoint with the
+        highest mean validation cut — the reference's select-best-network
+        protocol (`ECO_S2V/train_and_inference/select_best_neural_network.py:31`
+        over `ValidationGraphGenerator` instances)."""
         cfg = self.cfg
         env = self.env
         key = jax.random.PRNGKey(cfg.seed)
@@ -196,6 +201,7 @@ class DQNAgent:
 
         state, obs = self._env_reset(params_env, k_reset)
         history = {"loss": [], "best_cut": [], "eval": []}
+        best_eval, best_params = -np.inf, params
         train_steps = 0
         for step in range(num_steps):
             key, k_act, k_sample = jax.random.split(key, 3)
@@ -234,9 +240,18 @@ class DQNAgent:
             if eval_every and eval_graphs and (step + 1) % eval_every == 0:
                 score = np.mean([self.evaluate(params, g) for g in eval_graphs])
                 history["eval"].append((step + 1, float(score)))
+                if score > best_eval:
+                    best_eval, best_params = float(score), params
                 if verbose:
                     print(f"eval @ {step + 1}: avg best cut {score:.2f}")
 
+        if select_best and history["eval"]:
+            # final params also compete (a final eval may not align with
+            # eval_every)
+            score = np.mean([self.evaluate(params, g) for g in eval_graphs])
+            if score > best_eval:
+                best_eval, best_params = float(score), params
+            return best_params, history
         return params, history
 
     # -------------------------------------------------- unified-runtime path
