@@ -190,6 +190,64 @@ class TensorNetwork:
             edge_nodes[eid] = (a, b)
         return TensorNetwork(num_nodes, edge_nodes, ban_edges, name)
 
+    def node2s_to_edge_sort(self, node2s: Sequence[Sequence[int]]) -> np.ndarray:
+        """Node-pair contraction sequence -> edge contraction order
+        (`convert_node2s_to_edge_sort` `TNCO_env.py:914-958`): for each
+        (i, j) pair contract the smallest shared edge id, then all remaining
+        shared edges (parallel bonds), merging the edge sets."""
+        edges_tmp = [set() for _ in range(self.num_nodes)]
+        for e, (a, b) in enumerate(self.edge_nodes):
+            edges_tmp[a].add(int(e))
+            edges_tmp[b].add(int(e))
+        edge_sort: List[int] = []
+        edge_rest = set(range(self.run_edges))
+        for i0, i1 in node2s:
+            inter = edges_tmp[i0] & edges_tmp[i1]
+            e = sorted(inter)[0]
+            edge_sort.append(e)
+            ejs = sorted(edge_rest & (inter - {e}))
+            edge_sort.extend(ejs)
+            edge_rest.discard(e)
+            edge_rest -= set(ejs)
+            union = edges_tmp[i0] | edges_tmp[i1]
+            edges_tmp[i0] = union
+            edges_tmp[i1] = union
+        if len(edge_sort) != self.run_edges:
+            raise ValueError(
+                f"node2s covers {len(edge_sort)} of {self.run_edges} run edges"
+            )
+        return np.asarray(edge_sort, np.int32)
+
+
+_REFERENCE_TNCO_ENV = (
+    "/root/reference/rlsolver/methods_problem_specific/tensor_train/TNCO_env.py"
+)
+
+
+def load_reference_tnco_constant(name: str, path: str = _REFERENCE_TNCO_ENV):
+    """Load a list constant (e.g. 'NodesSycamoreN53M12',
+    'Node2sSycamoreN53N20Test1') from the mounted reference source by AST
+    literal extraction — the actual shipped sycamore circuits
+    (`TNCO_env.py:30-525`), imported as data without executing torch code.
+    """
+    import ast
+
+    with open(path) as f:
+        tree = ast.parse(f.read())
+    for node in tree.body:
+        if isinstance(node, ast.Assign):
+            for target in node.targets:
+                if isinstance(target, ast.Name) and target.id == name:
+                    return ast.literal_eval(node.value)
+    raise KeyError(f"{name} not found in {path}")
+
+
+def sycamore_network(m: int = 12) -> TensorNetwork:
+    """The shipped circuit_n53_m<m> sycamore tensor network (ban_edges=0,
+    as in the reference unit tests `TNCO_env.py:1005,1040`)."""
+    nodes_list = load_reference_tnco_constant(f"NodesSycamoreN53M{m}")
+    return TensorNetwork.from_nodes_list(nodes_list, 0, name=f"sycamore_n53_m{m}")
+
 
 # ------------------------------------------------------------------------ env
 class TncoEnv:
