@@ -278,3 +278,110 @@ class OffPolicyAgent:
             ), {"critic_loss": closs, "actor_loss": aloss}
 
         return update
+
+
+# ------------------------------------------------------------- EmbedDQN
+class QEmbedTwin(nn.Module):
+    """ElegantRL's embedded-action Q network (`QEmbedBase`/`QEmbedTwin`,
+    reference `elegantrl/agents/AgentEmbedDQN.py:106-186`): Q(s, a) scored
+    from the state concatenated with a learned embedding of the *discrete*
+    action (embedding_dim = max(8, sqrt(action_dim))), with `num_ensembles`
+    twin heads trained against a shared label."""
+
+    action_dim: int
+    hidden: int = 128
+    num_ensembles: int = 2
+
+    @nn.compact
+    def __call__(self, obs: jax.Array, action_int: jax.Array) -> jax.Array:
+        emb_dim = max(8, int(self.action_dim**0.5))
+        emb = nn.Embed(
+            self.action_dim,
+            emb_dim,
+            embedding_init=nn.initializers.orthogonal(0.5),
+        )(action_int)
+        x = jnp.concatenate([obs, emb], axis=-1)
+        x = nn.relu(nn.Dense(self.hidden)(x))
+        x = nn.relu(nn.Dense(self.hidden)(x))
+        return nn.Dense(self.num_ensembles)(x)  # [..., num_ensembles]
+
+
+@dataclasses.dataclass
+class EmbedDQNConfig:
+    obs_dim: int = 4
+    action_dim: int = 4
+    gamma: float = 0.99
+    tau: float = 0.005
+    lr: float = 1e-3
+    batch: int = 128
+    capacity: int = 20_000
+    explore_rate: float = 0.25  # reference AgentEmbedDQN.explore_rate
+    seed: int = 0
+
+
+class EmbedDQNState(NamedTuple):
+    params: dict
+    target: dict
+    opt_state: tuple
+    step: jax.Array
+
+
+class EmbedDQNAgent:
+    """`AgentEmbedDQN` equivalent (reference
+    `elegantrl/agents/AgentEmbedDQN.py:14-71`): epsilon-greedy exploration
+    over all-action Q scores, TD target = r + gamma * undone *
+    max_a mean-ensemble Q_target(s', a), MSE on the taken action's ensemble
+    against the repeated label, Polyak target updates."""
+
+    def __init__(self, cfg: EmbedDQNConfig = EmbedDQNConfig()):
+        self.cfg = cfg
+        self.net = QEmbedTwin(cfg.action_dim)
+        self.optim = optax.adam(cfg.lr)
+
+    def init(self) -> EmbedDQNState:
+        key = jax.random.PRNGKey(self.cfg.seed)
+        obs = jnp.zeros((1, self.cfg.obs_dim))
+        act = jnp.zeros((1,), jnp.int32)
+        p = self.net.init(key, obs, act)
+        return EmbedDQNState(p, p, self.optim.init(p), jnp.int32(0))
+
+    def q_all(self, params, obs: jax.Array) -> jax.Array:
+        """Mean-ensemble Q for every action: [B, action_dim]."""
+        a = self.cfg.action_dim
+        acts = jnp.arange(a, dtype=jnp.int32)
+        obs_t = jnp.broadcast_to(obs[:, None, :], (obs.shape[0], a, obs.shape[1]))
+        acts_t = jnp.broadcast_to(acts[None, :], (obs.shape[0], a))
+        return self.net.apply(params, obs_t, acts_t).mean(axis=-1)
+
+    def act(self, state: EmbedDQNState, obs: jax.Array, key: jax.Array,
+            explore: bool = True) -> jax.Array:
+        """Epsilon-greedy action ints [B] (`QEmbedBase.get_action`)."""
+        greedy = jnp.argmax(self.q_all(state.params, obs), axis=1)
+        if not explore:
+            return greedy
+        k1, k2 = jax.random.split(key)
+        rand = jax.random.randint(k1, greedy.shape, 0, self.cfg.action_dim)
+        pick = jax.random.uniform(k2, ()) < self.cfg.explore_rate
+        return jnp.where(pick, rand, greedy)
+
+    def make_update(self):
+        cfg = self.cfg
+
+        @jax.jit
+        def update(state: EmbedDQNState, batch: Transition):
+            action_int = batch.action.astype(jnp.int32)[:, 0]
+            next_q = self.q_all(state.target, batch.next_obs).max(axis=1)
+            y = batch.reward + cfg.gamma * (1.0 - batch.done) * next_q
+            y = jax.lax.stop_gradient(y)
+
+            def loss(p):
+                q = self.net.apply(p, batch.obs, action_int)  # [B, E]
+                return ((q - y[:, None]) ** 2).mean()
+
+            l, grads = jax.value_and_grad(loss)(state.params)
+            upd, opt_state = self.optim.update(grads, state.opt_state)
+            params = optax.apply_updates(state.params, upd)
+            target = soft_update(state.target, params, cfg.tau)
+            return EmbedDQNState(params, target, opt_state, state.step + 1), l
+
+        return update

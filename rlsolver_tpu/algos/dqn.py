@@ -387,18 +387,34 @@ class DQNAgent:
         return state.params, state
 
     # ------------------------------------------------------------- inference
-    def evaluate(self, params, graph: Graph, key: Optional[jax.Array] = None) -> float:
+    def evaluate(
+        self,
+        params,
+        graph: Graph,
+        key: Optional[jax.Array] = None,
+        num_envs: Optional[int] = None,
+    ) -> float:
         """Greedy rollout on one graph over the vectorized envs; returns the
         best cut found (reference `__test_network_batched`,
-        `ECO_S2V/util.py:90-353`)."""
+        `ECO_S2V/util.py:90-353`).
+
+        Chunked inference (`MINI_INFERENCE_ENVS`, reference
+        `ECO_S2V/config.py:50-51`, `jumanji/.../inference.py:84-95`): when
+        `num_envs` exceeds the env's compiled batch, runs
+        ceil(num_envs / env.config.num_envs) sequential rollouts through the
+        same compiled program — total parallelism without growing HBM."""
         env = self.env
         params_env = env.params_from_graph(graph)
         key = key if key is not None else jax.random.PRNGKey(0)
-        state, obs = self._env_reset(params_env, key)
-        for _ in range(env.max_steps):
-            mask = env.allowed_action_mask(state)
-            actions = self._act(
-                params, obs, params_env.adj, mask, jax.random.PRNGKey(0), 0.0
-            )
-            state, obs, _, done = self._env_step(params_env, state, actions)
-        return float(jnp.max(state.best_score))
+        chunks = max(1, -(-(num_envs or env.config.num_envs) // env.config.num_envs))
+        best = -float("inf")
+        for c in range(chunks):
+            state, obs = self._env_reset(params_env, jax.random.fold_in(key, c))
+            for _ in range(env.max_steps):
+                mask = env.allowed_action_mask(state)
+                actions = self._act(
+                    params, obs, params_env.adj, mask, jax.random.PRNGKey(0), 0.0
+                )
+                state, obs, _, done = self._env_step(params_env, state, actions)
+            best = max(best, float(jnp.max(state.best_score)))
+        return best

@@ -103,7 +103,15 @@ def _build_steps(env: MaxcutEnv, data: SweepData, cfg: MCPGConfig):
     if cfg.sweep_mode == "packed":
         from rlsolver_tpu.ops.pallas.mcpg_sweep import PackedSweepTables
 
-        packed_tables = PackedSweepTables.build(env.graph)
+        try:
+            packed_tables = PackedSweepTables.build(env.graph)
+            packed_weighted = False
+        except ValueError:
+            # general integer weights: bit-plane kernel (weighted_sweep.py)
+            from rlsolver_tpu.ops.pallas.weighted_sweep import WeightedSweepTables
+
+            packed_tables = WeightedSweepTables.build(env.graph)
+            packed_weighted = True
 
     def sample_step(key, probs, start_bits):
         """start_bits bool [R*C, N] -> (mh_samples, ls_bits, cuts [R*C])."""
@@ -119,10 +127,14 @@ def _build_steps(env: MaxcutEnv, data: SweepData, cfg: MCPGConfig):
             mh = metropolis_bitflip_chain(k_mh, probs, start_bits, change_times).samples
         if cfg.sweep_mode == "packed":
             from rlsolver_tpu.ops.pallas.mcpg_sweep import mcpg_sweep_fused
+            from rlsolver_tpu.ops.pallas.weighted_sweep import (
+                mcpg_sweep_weighted_fused,
+            )
 
             seed = jax.random.randint(k_ls, (), 0, jnp.iinfo(jnp.int32).max)
             blk = 512 if mh.shape[0] % 512 == 0 else mh.shape[0]
-            ls_bits = mcpg_sweep_fused(
+            sweep = mcpg_sweep_weighted_fused if packed_weighted else mcpg_sweep_fused
+            ls_bits = sweep(
                 seed, mh, packed_tables, num_sweeps=cfg.num_ls, block_chains=blk
             )
         elif cfg.sweep_mode == "sequential":

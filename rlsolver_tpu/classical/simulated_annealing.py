@@ -80,6 +80,85 @@ def anneal_maxcut(graph: Graph, cfg: SAConfig = SAConfig()) -> Tuple[np.ndarray,
     return np.asarray(bits[i]), float(vs[i])
 
 
+def anneal_set_cover(instance, cfg: SAConfig = SAConfig()) -> Tuple[np.ndarray, float]:
+    """Set-cover SA with the reference's swap moves
+    (`simulated_annealing_set_cover`, reference
+    `rlsolver/methods/simulated_annealing.py:41-105`): start from greedy,
+    each step adds one unselected set and removes two selected ones (one
+    with probability 0.05), Metropolis-accepted under a linearly decaying
+    temperature; infeasible (uncovered) proposals score -inf and are never
+    accepted. Here: `num_chains` chains in one jitted scan, with the
+    selected/unselected draws as masked Gumbel top-k. Returns (bits [S],
+    score = -num_selected, higher better).
+    """
+    from rlsolver_tpu.classical.greedy import greedy_set_cover
+
+    member = jnp.asarray(instance.membership_matrix(), jnp.float32)  # [S, I]
+    num_sets, num_items = member.shape
+    gr_bits, _ = greedy_set_cover(instance)
+    b = cfg.num_chains
+    xs = jnp.broadcast_to(jnp.asarray(gr_bits, bool), (b, num_sets))
+    key = jax.random.PRNGKey(cfg.seed)
+
+    def objective(xs):
+        covered = (xs.astype(jnp.float32) @ member) > 0  # [B, I]
+        feasible = covered.all(axis=1)
+        return jnp.where(feasible, -xs.sum(axis=1).astype(jnp.float32), -jnp.inf)
+
+    @jax.jit
+    def run(key, xs):
+        vs = objective(xs)
+        best_xs, best_vs = xs, vs
+
+        def masked_pick(k, mask, num):
+            """Gumbel top-`num` indices among mask=True columns, [B, num]."""
+            gumbel = -jnp.log(-jnp.log(jax.random.uniform(k, mask.shape) + 1e-12))
+            scores = jnp.where(mask, gumbel, -jnp.inf)
+            _, idx = jax.lax.top_k(scores, num)
+            return idx
+
+        def body(carry, inp):
+            xs, vs, best_xs, best_vs = carry
+            k, temp = inp
+            k1, k2, k3, k4 = jax.random.split(k, 4)
+            rows = jnp.arange(b)[:, None]
+            set_in = masked_pick(k1, ~xs, 1)
+            prop = xs.at[rows, set_in].set(True)
+            outs = masked_pick(k2, xs, 2)  # two selected sets to drop
+            drop_one = jax.random.uniform(k3, (b, 1)) < 0.05
+            keep_second = drop_one | (jnp.sum(xs, axis=1, keepdims=True) < 2)
+            prop = prop.at[rows, outs[:, :1]].set(False)
+            prop = jnp.where(
+                keep_second, prop, prop.at[rows, outs[:, 1:]].set(False)
+            )
+            vs_prop = objective(prop)
+            g = vs_prop - vs
+            accept = (g > 0) | (
+                jax.random.uniform(k4, (b,)) < jnp.exp(jnp.minimum(g / temp, 0.0))
+            )
+            accept = accept & jnp.isfinite(vs_prop)
+            xs = jnp.where(accept[:, None], prop, xs)
+            vs = jnp.where(accept, vs_prop, vs)
+            better = vs > best_vs
+            best_vs = jnp.where(better, vs, best_vs)
+            best_xs = jnp.where(better[:, None], xs, best_xs)
+            return (xs, vs, best_xs, best_vs), None
+
+        # reference: temperature = T0 * (1 - (k+1)/num_steps), linear decay
+        temps = cfg.init_temperature * (
+            1.0 - (jnp.arange(cfg.num_steps) + 1.0) / cfg.num_steps
+        ) + 1e-6
+        keys = jax.random.split(key, cfg.num_steps)
+        (xs, vs, best_xs, best_vs), _ = jax.lax.scan(
+            body, (xs, vs, best_xs, best_vs), (keys, temps)
+        )
+        return best_xs, best_vs
+
+    bits, vs = run(key, xs)
+    i = int(jnp.argmax(vs))
+    return np.asarray(bits[i]), float(vs[i])
+
+
 def anneal_bitvector(
     objective: Callable[[jax.Array], jax.Array],
     num_bits: int,

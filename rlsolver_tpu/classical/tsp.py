@@ -227,6 +227,69 @@ def two_opt_best_improvement(
     return tours, lengths
 
 
+def three_opt_tour(
+    dist: np.ndarray, tour: np.ndarray, max_rounds: int = 50
+) -> Tuple[np.ndarray, float]:
+    """True 3-opt best-improvement descent (reference `TSP/opt_3.py`
+    semantics: every (i<j<k) segment triple, all 7 reconnections, repeat
+    until no move improves).
+
+    The reference enumerates triples in nested python loops with deepcopy
+    tour rebuilds; here each outer index i evaluates its whole (j, k) plane
+    as vectorized numpy delta arrays — only the 6 boundary cities matter
+    per move, so no tour is materialized until the winning move is applied.
+    Host-side by design (sequential accept dependency, tiny instances);
+    the batched device path is `or_opt_moves`/`two_opt_best_improvement`.
+    Returns (tour, length).
+    """
+    d = np.asarray(dist, np.float64)
+    t = np.asarray(tour, np.int64).copy()
+    n = len(t)
+    if n < 6:
+        return t, float(-obj_tsp(t, d))
+    for _ in range(max_rounds):
+        best_delta = -1e-9
+        best_move = None
+        for i in range(n - 2):
+            a, b = t[i], t[i + 1]
+            j = np.arange(i + 1, n - 1)
+            k_hi = n if i > 0 else n - 1  # i==0, k==n-1 would re-split edge (f==a)
+            k = np.arange(i + 2, k_hi)
+            J, K = np.meshgrid(j, k, indexing="ij")
+            valid = J < K
+            c, dd = t[J], t[J + 1]
+            e, f = t[K], t[(K + 1) % n]
+            d0 = d[a, b] + d[c, dd] + d[e, f]
+            deltas = np.stack(
+                [
+                    d[a, c] + d[b, dd] + d[e, f],  # rev X1
+                    d[a, b] + d[c, e] + d[dd, f],  # rev X2
+                    d[a, c] + d[b, e] + d[dd, f],  # rev both
+                    d[a, dd] + d[e, b] + d[c, f],  # swap
+                    d[a, e] + d[dd, b] + d[c, f],  # swap + rev X2
+                    d[a, dd] + d[e, c] + d[b, f],  # swap + rev X1
+                    d[a, e] + d[dd, c] + d[b, f],  # swap + rev both
+                ]
+            ) - d0
+            deltas = np.where(valid[None], deltas, np.inf)
+            m = np.argmin(deltas)
+            case, jj, kk = np.unravel_index(m, deltas.shape)
+            if deltas[case, jj, kk] < best_delta:
+                best_delta = float(deltas[case, jj, kk])
+                best_move = (int(case), i, int(J[jj, kk]), int(K[jj, kk]))
+        if best_move is None:
+            break
+        case, i, j, k = best_move
+        A, X1, X2, C = t[: i + 1], t[i + 1 : j + 1], t[j + 1 : k + 1], t[k + 1 :]
+        r = lambda s: s[::-1]
+        parts = [
+            (r(X1), X2), (X1, r(X2)), (r(X1), r(X2)),
+            (X2, X1), (r(X2), X1), (X2, r(X1)), (r(X2), r(X1)),
+        ][case]
+        t = np.concatenate([A, *parts, C])
+    return t, float(-obj_tsp(t, d))
+
+
 def or_opt_moves(
     key: jax.Array, tours: jax.Array, dist: jax.Array, num_iters: int = 200
 ) -> Tuple[jax.Array, jax.Array]:

@@ -47,6 +47,7 @@ class MaxcutEnv:
         dtype=jnp.bfloat16,
         mode: str = "auto",
         packed_sweep: bool = False,
+        packed_interpret: bool = False,
     ):
         self.graph = graph
         self.num_nodes = graph.num_nodes
@@ -55,13 +56,23 @@ class MaxcutEnv:
         with_dense = mode != "sparse"
         self.cg = cut_ops.CutGraph.build(graph, dtype=dtype, with_dense=with_dense)
         self.if_maximize = True
-        # opt-in bit-packed Pallas 1-flip sweep (TPU-only, {0, +-1} weights;
-        # bit-exact vs the f32 path — ops/pallas/mcpg_sweep.py)
+        # opt-in bit-packed Pallas 1-flip sweep (TPU-only unless
+        # packed_interpret; bit-exact vs the f32 path). {0, +-1}-weight
+        # graphs use the single-plane kernel (ops/pallas/mcpg_sweep.py),
+        # general integer weights the bit-plane one
+        # (ops/pallas/weighted_sweep.py).
         self._adj_packed = None
+        self._adj_planes = None
+        self._packed_interpret = packed_interpret
         if packed_sweep:
             from rlsolver_tpu.ops.pallas.mcpg_sweep import pack_adjacency
 
-            self._adj_packed = pack_adjacency(graph)
+            try:
+                self._adj_packed = pack_adjacency(graph)
+            except ValueError:
+                from rlsolver_tpu.ops.pallas.weighted_sweep import WeightedAdjPlanes
+
+                self._adj_planes = WeightedAdjPlanes.build(graph)
 
     # ------------------------------------------------------------------ state
     def random_xs(self, key: jax.Array, num_sims: int) -> jax.Array:
@@ -138,7 +149,19 @@ class MaxcutEnv:
             from rlsolver_tpu.ops.pallas.mcpg_sweep import sweep_1flip_packed
 
             blk = 512 if xs.shape[0] % 512 == 0 else xs.shape[0]
-            out = sweep_1flip_packed(xs, self._adj_packed, block_chains=blk)
+            out = sweep_1flip_packed(
+                xs, self._adj_packed, block_chains=blk,
+                interpret=self._packed_interpret,
+            )
+            return out, self.obj(out)
+        if self._adj_planes is not None:
+            from rlsolver_tpu.ops.pallas.weighted_sweep import sweep_1flip_weighted
+
+            blk = 512 if xs.shape[0] % 512 == 0 else xs.shape[0]
+            out = sweep_1flip_weighted(
+                xs, self._adj_planes, block_chains=blk,
+                interpret=self._packed_interpret,
+            )
             return out, self.obj(out)
         if self.cg.adj is None:
             raise NotImplementedError("sweep_1flip needs the dense adjacency")

@@ -16,6 +16,13 @@ from rlsolver_tpu.ops.pallas.mcpg_sweep import (
     pack_adjacency,
     sweep_1flip_packed,
 )
+from rlsolver_tpu.ops.pallas.weighted_sweep import (
+    WeightedAdjPlanes,
+    WeightedSweepTables,
+    mcpg_sweep_weighted,
+    mcpg_sweep_weighted_fused,
+    sweep_1flip_weighted,
+)
 from rlsolver_tpu.ops.pallas.mh_sampler import (
     make_proposal_stream,
     make_round_randoms,
@@ -36,6 +43,11 @@ __all__ = [
     "mcpg_sweep_reference",
     "pack_adjacency",
     "sweep_1flip_packed",
+    "WeightedAdjPlanes",
+    "WeightedSweepTables",
+    "mcpg_sweep_weighted",
+    "mcpg_sweep_weighted_fused",
+    "sweep_1flip_weighted",
     "make_proposal_stream",
     "make_round_randoms",
     "mh_reference",

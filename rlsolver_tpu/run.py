@@ -370,11 +370,23 @@ def _tsp_solvers():
 
 def run_tsp(alg: str, path: str, seed: int) -> Tuple[float, float]:
     from rlsolver_tpu.core.io import read_tsp_coords, tsp_distance_matrix
+    from rlsolver_tpu.problems.objectives import obj_tsp
 
     dist = tsp_distance_matrix(read_tsp_coords(path))
     t0 = time.time()
     tour, length = _tsp_solvers()[alg](dist, seed)
-    return length, time.time() - t0
+    duration = time.time() - t0
+    # re-validate: the tour is a permutation and its `obj_tsp` re-score
+    # matches the solver's reported length (same discipline as
+    # `_check_solution` for the graph problems)
+    assert sorted(np.asarray(tour).tolist()) == list(range(dist.shape[0])), (
+        f"{alg} returned a non-permutation tour on {path}"
+    )
+    check = -obj_tsp(tour, dist)
+    assert abs(check - length) < 1e-3 * max(1.0, abs(length)), (
+        f"solver/objective mismatch: {length} vs {check}"
+    )
+    return length, duration
 
 
 def main(argv=None) -> int:

@@ -172,3 +172,23 @@ def test_generic_sa_on_mis(small_graphs):
     assert np.isfinite(host_v), "SA returned an infeasible MIS"
     opt = milp.solve_mis(g, 30.0)
     assert host_v >= 0.7 * opt.obj
+
+
+def test_set_cover_sa_swap_moves():
+    """Reference-parity set-cover SA (`simulated_annealing_set_cover`):
+    greedy-seeded swap moves must stay feasible and match or beat greedy."""
+    from rlsolver_tpu.classical.simulated_annealing import anneal_set_cover
+
+    rng = np.random.default_rng(0)
+    num_items, num_sets = 30, 18
+    subsets = []
+    for i in range(num_items):  # singletons guarantee feasibility
+        subsets.append((i + 1,))
+    for _ in range(num_sets - num_items // 3):
+        size = int(rng.integers(4, 12))
+        subsets.append(tuple(int(x) + 1 for x in rng.choice(num_items, size, False)))
+    sc = SetCoverInstance(num_items, tuple(subsets[: num_sets + num_items]))
+    gr_bits, gr_v = greedy_set_cover(sc)
+    bits, v = anneal_set_cover(sc, SAConfig(num_chains=64, num_steps=800, seed=1))
+    assert v >= gr_v  # never worse than its own warm start
+    assert hobj.obj_set_cover(bits.astype(int), sc) == v  # feasible + exact re-score

@@ -91,3 +91,47 @@ def test_agent_learns_point_chasing(algo):
 
     reward_after = rollout_policy(agent, state, jax.random.PRNGKey(99))
     assert reward_after > reward_before  # moves toward the target
+
+
+def test_embed_dqn_learns_contextual_bandit():
+    """EmbedDQN (`AgentEmbedDQN` parity) learns argmax-of-obs on a one-step
+    contextual bandit: greedy accuracy must be near-perfect."""
+    import jax
+    import jax.numpy as jnp
+
+    from rlsolver_tpu.algos.continuous import (
+        EmbedDQNAgent,
+        EmbedDQNConfig,
+        Replay,
+        Transition,
+        replay_add,
+        replay_sample,
+    )
+
+    cfg = EmbedDQNConfig(obs_dim=4, action_dim=4, lr=3e-3, batch=64, tau=0.05, seed=0)
+    agent = EmbedDQNAgent(cfg)
+    state = agent.init()
+    update = agent.make_update()
+    buf = Replay.create(cfg.capacity, cfg.obs_dim, 1)
+    key = jax.random.PRNGKey(1)
+
+    # fill buffer with random transitions (done=1: bandit)
+    for i in range(40):
+        key, k1, k2 = jax.random.split(key, 3)
+        obs = jax.random.uniform(k1, (16, cfg.obs_dim))
+        acts = jax.random.randint(k2, (16,), 0, cfg.action_dim)
+        rew = (acts == jnp.argmax(obs, axis=1)).astype(jnp.float32)
+        for j in range(16):
+            buf = replay_add(
+                buf,
+                Transition(obs[j], acts[j, None].astype(jnp.float32), rew[j],
+                           obs[j], jnp.float32(1.0)),
+            )
+    for i in range(400):
+        key, k = jax.random.split(key)
+        state, loss = update(state, replay_sample(buf, k, cfg.batch))
+    key, k_eval = jax.random.split(key)
+    obs = jax.random.uniform(k_eval, (256, cfg.obs_dim))
+    greedy = agent.act(state, obs, key, explore=False)
+    acc = float((greedy == jnp.argmax(obs, axis=1)).mean())
+    assert acc > 0.9, acc

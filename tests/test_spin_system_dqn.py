@@ -164,6 +164,10 @@ def test_dqn_smoke_train(small_graphs):
     score = agent.evaluate(params, g)
     # greedy rollout must at least reach a decent cut (random ~ m/2 = 62)
     assert score >= obj_maxcut(np.zeros(32, int), g) and score > 62
+    # chunked inference (MINI_INFERENCE_ENVS analogue): 3 chunks of the
+    # compiled batch never do worse than chunk 0 alone (same fold_in keys)
+    chunked = agent.evaluate(params, g, num_envs=3 * env.config.num_envs)
+    assert chunked >= score
 
 
 def test_finite_memory_length_forgets(small_graphs):

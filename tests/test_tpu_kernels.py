@@ -110,3 +110,51 @@ def test_mh_fused_then_sweep_matches_env_objective(g22like):
     rows = np.asarray(out[:4])
     for i in range(4):
         assert vs[i] == pytest.approx(obj_maxcut(rows[i], g22like))
+
+
+def test_weighted_sweep_kernels_on_chip():
+    """General-integer-weight bit-plane kernels (ops/pallas/weighted_sweep.py)
+    on the real TPU: bit-exact vs the XLA twin / env sweep, and the fused
+    on-core-PRNG variant's outputs re-score correctly and improve cuts."""
+    from rlsolver_tpu.core.graph import Graph
+    from rlsolver_tpu.envs.maxcut import MaxcutEnv
+    from rlsolver_tpu.ops.pallas.mcpg_sweep import mcpg_sweep_reference
+    from rlsolver_tpu.ops.pallas.weighted_sweep import (
+        WeightedAdjPlanes,
+        WeightedSweepTables,
+        mcpg_sweep_weighted,
+        mcpg_sweep_weighted_fused,
+        sweep_1flip_weighted,
+    )
+
+    rng = np.random.default_rng(0)
+    n = 2000
+    edges = []
+    for i in range(n):
+        for j in rng.choice(n, 10, replace=False):
+            if i < j:
+                w = int(rng.integers(1, 8)) * (1 if rng.random() < 0.7 else -1)
+                edges.append((i, int(j), float(w)))
+    g = Graph.from_edge_list(n, edges, name="W2000")
+    t = WeightedSweepTables.build(g)
+    assert len(t.planes_pos) == 3 and len(t.planes_neg) == 3
+
+    b = 512
+    key = jax.random.PRNGKey(1)
+    bits = jax.random.bernoulli(key, 0.5, (b, n))
+    noise = jax.random.randint(jax.random.fold_in(key, 2), (2 * n, b), 0, 65536)
+    out = mcpg_sweep_weighted(noise, bits, t, num_sweeps=2, block_chains=b)
+    ref = mcpg_sweep_reference(noise, bits, t, g, num_sweeps=2)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+    env = MaxcutEnv(g, dtype=jnp.float32)
+    planes = WeightedAdjPlanes.build(g)
+    vs = env.obj(bits)
+    out1 = sweep_1flip_weighted(bits, planes, block_chains=b)
+    xs_ref, _ = env.sweep_1flip(bits, vs)
+    np.testing.assert_array_equal(np.asarray(out1), np.asarray(xs_ref))
+
+    fused = mcpg_sweep_weighted_fused(jnp.int32(7), bits, t, num_sweeps=2,
+                                      block_chains=b)
+    v_f = np.asarray(env.obj(fused))
+    assert v_f.mean() > np.asarray(vs).mean()

@@ -120,3 +120,36 @@ def test_genetic_tsp(inst):
     assert abs(tour_len(tour, inst) - length) < 1e-3
     nn_len = tour_len(nearest_neighbor_tour(inst), inst)
     assert length < nn_len * 1.3  # in the same ballpark as NN at least
+
+
+def test_three_opt_true():
+    from rlsolver_tpu.classical.tsp import three_opt_tour
+
+    coords = generate_tsp_coords(1, 32, seed=5)[0]
+    dist = tsp_distance_matrix(coords)
+    n = dist.shape[0]
+    start = nearest_neighbor_tour(dist)
+    t3, len3 = three_opt_tour(dist, start)
+    assert_valid_tour(t3, n)
+    assert abs(len3 - tour_len(t3, dist)) < 1e-6
+    assert len3 <= tour_len(start, dist) + 1e-9
+    # 3-opt moves are a superset of 2-opt moves: from the same start the
+    # 3-opt local optimum is never worse than the 2-opt one
+    t2, len2 = two_opt_best_improvement(jnp.asarray(start)[None], jnp.asarray(dist))
+    assert len3 <= float(len2[0]) + 1e-5
+    # the result is 2-opt-stable (no residual 2-opt move improves it)
+    _, len2_after = two_opt_best_improvement(jnp.asarray(t3)[None], jnp.asarray(dist))
+    assert float(len2_after[0]) >= len3 - 1e-5
+
+
+def test_three_opt_fixes_segment_swap():
+    """A tour needing a pure segment exchange (a 3-opt move that no single
+    2-opt reversal can make profitable on this metric) is repaired."""
+    from rlsolver_tpu.classical.tsp import three_opt_tour
+
+    # six points on a line; optimal tour visits them in order
+    coords = np.array([[float(i), 0.0] for i in range(6)])
+    d = tsp_distance_matrix(coords)
+    bad = np.array([0, 3, 4, 1, 2, 5])  # segments [3,4] and [1,2] swapped
+    t3, len3 = three_opt_tour(d, bad)
+    assert len3 <= tour_len(np.arange(6), d) + 1e-9
