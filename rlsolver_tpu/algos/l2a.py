@@ -238,8 +238,11 @@ def solve_maxcut_l2a(
     instance_file: Optional[str] = None,
     save_dir: Optional[str] = None,
     verbose: bool = False,
+    time_budget: Optional[float] = None,
 ):
-    """Instance-wise dREINFORCE. Returns (best_x, best_v, evaluator)."""
+    """Instance-wise dREINFORCE. Returns (best_x, best_v, evaluator).
+    `time_budget` (seconds) stops the iteration loop early (fixed-time
+    benchmark protocol, reference `README.md:335`)."""
     env, n, key, seq_graph, net, params, optimizer, opt_state = _l2a_setup(graph, cfg)
     rollout_step, ppo_update = _build_l2a_steps(env, net, seq_graph, cfg, optimizer)
     rollout_jit = jax.jit(rollout_step)
@@ -268,6 +271,8 @@ def solve_maxcut_l2a(
         evaluator.record(iter_i + 1, np.asarray(best_vs), np.asarray(best_xs))
         if verbose:
             print(evaluator.log_line(iter_i + 1, f"ppo_loss {float(losses.mean()):.4f}"))
+        if time_budget is not None and time.time() - start > time_budget:
+            break
 
     evaluator.save()
     if instance_file is not None:

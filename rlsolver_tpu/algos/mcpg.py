@@ -102,16 +102,33 @@ def _build_steps(env: MaxcutEnv, data: SweepData, cfg: MCPGConfig):
     optimizer = optax.chain(optax.clip_by_global_norm(1.0), optax.adam(cfg.lr))
     if cfg.sweep_mode == "packed":
         from rlsolver_tpu.ops.pallas.mcpg_sweep import PackedSweepTables
+        from rlsolver_tpu.ops.pallas.weighted_sweep import (
+            WeightedSweepTables,
+            pick_node_chunk,
+            resident_masks_fit,
+        )
 
+        blk_static = 512 if (C * R) % 512 == 0 else C * R
+        packed_chunk = None
         try:
             packed_tables = PackedSweepTables.build(env.graph)
             packed_weighted = False
+            n_masks = 6 if packed_tables.signed else 3
+            if not resident_masks_fit(
+                packed_tables.num_nodes, packed_tables.wpad, n_masks, blk_static
+            ):
+                raise ValueError("dedicated-kernel masks exceed VMEM")
         except ValueError:
-            # general integer weights: bit-plane kernel (weighted_sweep.py)
-            from rlsolver_tpu.ops.pallas.weighted_sweep import WeightedSweepTables
-
+            # general integer weights, or G55/G70-scale instances whose mask
+            # tables must be streamed: bit-plane kernel (weighted_sweep.py)
             packed_tables = WeightedSweepTables.build(env.graph)
             packed_weighted = True
+            n_masks = 1 + len(packed_tables.planes_pos) * (
+                2 if packed_tables.planes_neg else 1
+            )
+            packed_chunk = pick_node_chunk(
+                packed_tables.num_nodes, packed_tables.wpad, n_masks, blk_static
+            )
 
     def sample_step(key, probs, start_bits):
         """start_bits bool [R*C, N] -> (mh_samples, ls_bits, cuts [R*C])."""
@@ -133,10 +150,15 @@ def _build_steps(env: MaxcutEnv, data: SweepData, cfg: MCPGConfig):
 
             seed = jax.random.randint(k_ls, (), 0, jnp.iinfo(jnp.int32).max)
             blk = 512 if mh.shape[0] % 512 == 0 else mh.shape[0]
-            sweep = mcpg_sweep_weighted_fused if packed_weighted else mcpg_sweep_fused
-            ls_bits = sweep(
-                seed, mh, packed_tables, num_sweeps=cfg.num_ls, block_chains=blk
-            )
+            if packed_weighted:
+                ls_bits = mcpg_sweep_weighted_fused(
+                    seed, mh, packed_tables, num_sweeps=cfg.num_ls,
+                    block_chains=blk, node_chunk=packed_chunk,
+                )
+            else:
+                ls_bits = mcpg_sweep_fused(
+                    seed, mh, packed_tables, num_sweeps=cfg.num_ls, block_chains=blk
+                )
         elif cfg.sweep_mode == "sequential":
             xt = mcpg_init_values(mh)
             xt = degree_ordered_sweep(k_ls, xt, data, num_sweeps=cfg.num_ls)
@@ -306,8 +328,13 @@ def solve_maxcut_mcpg(
     instance_file: Optional[str] = None,
     save_dir: Optional[str] = None,
     verbose: bool = False,
+    time_budget: Optional[float] = None,
 ):
-    """Returns (best_x np.bool_[n], best_v float, evaluator)."""
+    """Returns (best_x np.bool_[n], best_v float, evaluator).
+
+    `time_budget` (seconds, wall clock from after warm start) stops the
+    epoch loop early — the reference's benchmark protocol runs methods under
+    a fixed time limit (`README.md:335`)."""
     # packed sweep_mode also accelerates the warm-start local search
     env = MaxcutEnv(graph, packed_sweep=cfg.sweep_mode == "packed")
     data = SweepData.build(graph)
@@ -357,6 +384,10 @@ def solve_maxcut_mcpg(
             evaluator.record(epoch * rounds_per_epoch + j + 1, np.asarray(best_vs), np.asarray(best_xs))
             if verbose and j % 8 == 0:
                 print(evaluator.log_line(j, f"samples/s {sps_log[-1]:.0f}"))
+            if time_budget is not None and time.time() - start > time_budget:
+                break
+        if time_budget is not None and time.time() - start > time_budget:
+            break
     evaluator.save()
 
     if instance_file is not None:

@@ -16,7 +16,8 @@ reference's HistoryBuffer equivalent without storing full solutions.
 from __future__ import annotations
 
 import dataclasses
-from typing import Tuple
+import time
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -44,9 +45,16 @@ def _fingerprint(bits: jax.Array, salt: jax.Array) -> jax.Array:
 
 
 def solve_maxcut_bls(
-    graph: Graph, cfg: BLSConfig = BLSConfig()
+    graph: Graph,
+    cfg: BLSConfig = BLSConfig(),
+    record=None,
+    time_budget: Optional[float] = None,
 ) -> Tuple[np.ndarray, float, list]:
-    """Returns (best bits, best cut, per-round best history)."""
+    """Returns (best bits, best cut, per-round best history).
+
+    `record(round_idx, best_cut)` is called after every round (for
+    cut-vs-time curves); `time_budget` (seconds) stops the outer python
+    loop early once exceeded."""
     env = MaxcutEnv(graph)
     n = graph.num_nodes
     key = jax.random.PRNGKey(cfg.seed)
@@ -111,9 +119,14 @@ def solve_maxcut_bls(
     # on some backends, and the loop is only tens of iterations
     step = jax.jit(lambda carry, k: round_step(carry, k))
     best_hist = []
-    for k in jax.random.split(key, cfg.num_rounds):
+    t_start = time.time()
+    for i, k in enumerate(jax.random.split(key, cfg.num_rounds)):
         carry, best = step(carry, k)
         best_hist.append(float(best))
+        if record is not None:
+            record(i, best_hist[-1])
+        if time_budget is not None and time.time() - t_start > time_budget:
+            break
     _, _, best_xs, best_vs, _, _, _ = carry
     b = int(jnp.argmax(best_vs))
     return np.asarray(best_xs[b]), float(best_vs[b]), best_hist

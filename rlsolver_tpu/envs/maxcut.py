@@ -63,16 +63,33 @@ class MaxcutEnv:
         # (ops/pallas/weighted_sweep.py).
         self._adj_packed = None
         self._adj_planes = None
+        self._sweep_chunk = None
         self._packed_interpret = packed_interpret
         if packed_sweep:
             from rlsolver_tpu.ops.pallas.mcpg_sweep import pack_adjacency
+            from rlsolver_tpu.ops.pallas.weighted_sweep import (
+                WeightedAdjPlanes,
+                pick_node_chunk,
+                resident_masks_fit,
+            )
 
             try:
-                self._adj_packed = pack_adjacency(graph)
+                packed = pack_adjacency(graph)
+                n_masks = 1 if packed[1] is None else 2
+                wpad = packed[0].shape[1]
+                if not resident_masks_fit(graph.num_nodes, wpad, n_masks, 512):
+                    raise ValueError("adjacency masks exceed VMEM")
+                self._adj_packed = packed
             except ValueError:
-                from rlsolver_tpu.ops.pallas.weighted_sweep import WeightedAdjPlanes
-
+                # general integer weights, or VMEM-exceeding N: bit-plane
+                # kernel with streamed mask chunks (weighted_sweep.py)
                 self._adj_planes = WeightedAdjPlanes.build(graph)
+                n_masks = len(self._adj_planes.planes_pos) * (
+                    2 if self._adj_planes.planes_neg else 1
+                )
+                self._sweep_chunk = pick_node_chunk(
+                    graph.num_nodes, self._adj_planes.wpad, n_masks, 512
+                )
 
     # ------------------------------------------------------------------ state
     def random_xs(self, key: jax.Array, num_sims: int) -> jax.Array:
@@ -160,6 +177,7 @@ class MaxcutEnv:
             blk = 512 if xs.shape[0] % 512 == 0 else xs.shape[0]
             out = sweep_1flip_weighted(
                 xs, self._adj_planes, block_chains=blk,
+                node_chunk=self._sweep_chunk,
                 interpret=self._packed_interpret,
             )
             return out, self.obj(out)

@@ -19,6 +19,8 @@ from rlsolver_tpu.ops.pallas.mcpg_sweep import (
 from rlsolver_tpu.ops.pallas.weighted_sweep import (
     WeightedAdjPlanes,
     WeightedSweepTables,
+    pick_node_chunk,
+    resident_masks_fit,
     mcpg_sweep_weighted,
     mcpg_sweep_weighted_fused,
     sweep_1flip_weighted,
@@ -48,6 +50,8 @@ __all__ = [
     "mcpg_sweep_weighted",
     "mcpg_sweep_weighted_fused",
     "sweep_1flip_weighted",
+    "pick_node_chunk",
+    "resident_masks_fit",
     "make_proposal_stream",
     "make_round_randoms",
     "mh_reference",

@@ -296,7 +296,9 @@ def _wsweep_call(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("num_sweeps", "noise_scale", "block_chains", "interpret"),
+    static_argnames=(
+        "num_sweeps", "noise_scale", "block_chains", "node_chunk", "interpret",
+    ),
 )
 def mcpg_sweep_weighted(
     noise_u16: jax.Array,
@@ -305,11 +307,21 @@ def mcpg_sweep_weighted(
     num_sweeps: int = 1,
     noise_scale: float = 0.25,
     block_chains: int = 512,
+    node_chunk: Optional[int] = None,
     interpret: bool = False,
 ) -> jax.Array:
     """Injected-noise variant (CI-testable). noise_u16: int32 in [0, 65536)
     of shape [num_sweeps * N, B]; bits: bool [B, N]. Bit-exact vs
-    `mcpg_sweep_reference(noise_u16, bits, tables, graph, ...)`."""
+    `mcpg_sweep_reference(noise_u16, bits, tables, graph, ...)`.
+
+    `node_chunk` streams the mask tables from HBM in [node_chunk, WPAD]
+    slices (required when (2k+1) * N * WPAD * 4 bytes exceeds VMEM, i.e.
+    N beyond ~4000); must divide N and be a multiple of 8."""
+    if node_chunk is not None:
+        return _wsweep_chunked_call(
+            tables, bits, jnp.int32(0), noise_u16, num_sweeps, noise_scale,
+            block_chains, node_chunk, use_prng=False, interpret=interpret,
+        )
     return _wsweep_call(
         tables,
         bits,
@@ -324,7 +336,8 @@ def mcpg_sweep_weighted(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("num_sweeps", "noise_scale", "block_chains")
+    jax.jit,
+    static_argnames=("num_sweeps", "noise_scale", "block_chains", "node_chunk"),
 )
 def mcpg_sweep_weighted_fused(
     seed: jax.Array,
@@ -333,9 +346,16 @@ def mcpg_sweep_weighted_fused(
     num_sweeps: int = 1,
     noise_scale: float = 0.25,
     block_chains: int = 512,
+    node_chunk: Optional[int] = None,
 ) -> jax.Array:
-    """Production variant: u16 noise from the on-core PRNG (TPU-only)."""
+    """Production variant: u16 noise from the on-core PRNG (TPU-only).
+    `node_chunk` as in `mcpg_sweep_weighted` (G70-scale instances)."""
     dummy = jnp.zeros((1, bits.shape[0]), jnp.int32)
+    if node_chunk is not None:
+        return _wsweep_chunked_call(
+            tables, bits, seed, dummy, num_sweeps, noise_scale,
+            block_chains, node_chunk, use_prng=True, interpret=False,
+        )
     return _wsweep_call(
         tables,
         bits,
@@ -408,17 +428,25 @@ def _wsweep_1flip_kernel(*refs, num_nodes, k_planes, has_neg):
     out_ref[:] = jax.lax.fori_loop(0, num_nodes, body, words0)
 
 
-@functools.partial(jax.jit, static_argnames=("block_chains", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("block_chains", "node_chunk", "interpret")
+)
 def sweep_1flip_weighted(
     bits: jax.Array,
     adj_planes: WeightedAdjPlanes,
     block_chains: int = 512,
+    node_chunk: Optional[int] = None,
     interpret: bool = False,
 ) -> jax.Array:
     """Greedy sequential 1-flip sweep (`env_L2A.py:110-115` semantics) for
     general integer weights on bit-packed state; deterministic and
     integer-exact, bit-identical to `MaxcutEnv.sweep_1flip` (tested).
-    bits: bool [B, N]."""
+    bits: bool [B, N]. `node_chunk` streams adjacency planes from HBM in
+    [node_chunk, WPAD] slices for N beyond VMEM residency (~4000)."""
+    if node_chunk is not None:
+        return _sweep_1flip_chunked_call(
+            bits, adj_planes, block_chains, node_chunk, interpret
+        )
     b, n = bits.shape
     if n != adj_planes.num_nodes:
         raise ValueError(
@@ -453,3 +481,285 @@ def sweep_1flip_weighted(
         interpret=interpret,
     )(*masks, words)
     return unpack_bits(out[:, :w], n)
+
+
+# --------------------------------------------------- node-chunked variants
+# The resident-mask kernels above need all mask tables in VMEM
+# ((2k+1) * N * WPAD * 4 bytes), which caps N at ~4000 on a 16 MB-VMEM core.
+# The chunked variants stream the mask tables from HBM in [chunk, WPAD]
+# slices over a (chain_blocks, num_sweeps, num_chunks) grid — the bit-packed
+# chain state block stays VMEM-resident across the whole sweep (same output
+# block index for every (s, c)), so Mosaic double-buffers the mask DMAs
+# behind the popcount work. This is what makes G70-scale (N = 10000)
+# sequential sweeps run at production speed on one core.
+
+
+def _wsweep_chunked_kernel(
+    seed_ref,
+    nodes_ref,
+    thr1_ref,
+    thr2_ref,
+    *rest,
+    chunk,
+    num_sweeps,
+    num_chunks,
+    noise_scale,
+    use_prng,
+    k_planes,
+    has_neg,
+):
+    n_masks = k_planes * (2 if has_neg else 1)
+    earlier_ref = rest[0]
+    plane_refs = rest[1 : 1 + n_masks]
+    noise_ref, bits_ref, out_ref = rest[1 + n_masks :]
+    i_blk = pl.program_id(0)
+    s = pl.program_id(1)
+    c = pl.program_id(2)
+
+    @pl.when((s == 0) & (c == 0))
+    def _():
+        out_ref[:] = bits_ref[:]
+
+    if use_prng:
+        pltpu.prng_seed(seed_ref[0], (i_blk * num_sweeps + s) * num_chunks + c)
+
+    words0 = out_ref[:]
+    blk = words0.shape[0]
+    lane = jax.lax.broadcasted_iota(jnp.int32, words0.shape, 1)
+    scale = jnp.float32(noise_scale / 65536.0)
+    half_ns = jnp.float32(noise_scale / 2.0)
+    is_first = (s == 0).astype(jnp.int32)
+
+    def body(j, words):
+        g = c * chunk + j  # global node step
+        e = earlier_ref[pl.ds(j, 1), :]
+        acc = jnp.zeros((blk, 1), jnp.int32)
+        for b in range(k_planes):
+            m = plane_refs[b][pl.ds(j, 1), :]
+            # first sweep: proc + 2*unproc = 2*pc_all - pc_proc; later: pc_all
+            t = _pcs(words, m)
+            t = t + is_first * (t - _pcs(words, m & e))
+            if has_neg:
+                mn = plane_refs[k_planes + b][pl.ds(j, 1), :]
+                tn = _pcs(words, mn)
+                t = t - (tn + is_first * (tn - _pcs(words, mn & e)))
+            acc = acc + (t << b)
+        if use_prng:
+            rnd = jax.lax.bitcast_convert_type(
+                pltpu.prng_random_bits((blk, 1)), jnp.int32
+            )
+            u = (rnd & 0xFFFF).astype(jnp.float32) * scale
+        else:
+            u = noise_ref[j, :][:, None].astype(jnp.float32) * scale
+        thr = jnp.where(s == 0, thr1_ref[g], thr2_ref[g]) + half_ns
+        new_bit = ((acc.astype(jnp.float32) + u) < thr).astype(jnp.int32)
+        node = nodes_ref[g]
+        word_i = jax.lax.shift_right_logical(node, 5)
+        bitmask = jax.lax.shift_left(1, node & 31)
+        hot = (lane == word_i).astype(jnp.int32)
+        return (words & ~(hot * bitmask)) | (hot * (new_bit * bitmask))
+
+    out_ref[:] = jax.lax.fori_loop(0, chunk, body, words0)
+
+
+def _wsweep_chunked_call(
+    tables: WeightedSweepTables,
+    bits: jax.Array,
+    seed: jax.Array,
+    noise_u16: jax.Array,
+    num_sweeps: int,
+    noise_scale: float,
+    block_chains: int,
+    node_chunk: int,
+    use_prng: bool,
+    interpret: bool,
+) -> jax.Array:
+    b, n = bits.shape
+    if n != tables.num_nodes:
+        raise ValueError(f"bits have {n} nodes, tables built for {tables.num_nodes}")
+    if b % block_chains != 0:
+        raise ValueError(f"chains {b} not a multiple of block {block_chains}")
+    if n % node_chunk != 0 or node_chunk % 8 != 0:
+        raise ValueError(
+            f"node_chunk {node_chunk} must divide N={n} and be a multiple of 8"
+        )
+    wpad = tables.wpad
+    num_chunks = n // node_chunk
+    words = pack_bits(bits)
+    w = words.shape[1]
+    words = jnp.pad(words, ((0, 0), (0, wpad - w)))
+
+    masks = [tables.earlier, *tables.planes_pos, *tables.planes_neg]
+    mask_spec = pl.BlockSpec(
+        (node_chunk, wpad), lambda i, s, c: (c, 0), memory_space=pltpu.VMEM
+    )
+    if use_prng:
+        noise_spec = pl.BlockSpec(
+            (1, block_chains), lambda i, s, c: (0, i), memory_space=pltpu.VMEM
+        )
+    else:
+        noise_spec = pl.BlockSpec(
+            (node_chunk, block_chains),
+            lambda i, s, c: (s * num_chunks + c, i),
+            memory_space=pltpu.VMEM,
+        )
+    state_spec = pl.BlockSpec(
+        (block_chains, wpad), lambda i, s, c: (i, 0), memory_space=pltpu.VMEM
+    )
+    out = pl.pallas_call(
+        functools.partial(
+            _wsweep_chunked_kernel,
+            chunk=node_chunk,
+            num_sweeps=num_sweeps,
+            num_chunks=num_chunks,
+            noise_scale=noise_scale,
+            use_prng=use_prng,
+            k_planes=len(tables.planes_pos),
+            has_neg=bool(tables.planes_neg),
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, wpad), jnp.int32),
+        grid=(b // block_chains, num_sweeps, num_chunks),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # seed
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # nodes
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # thr1
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # thr2
+            *([mask_spec] * len(masks)),
+            noise_spec,
+            state_spec,
+        ],
+        out_specs=state_spec,
+        interpret=interpret,
+    )(
+        jnp.atleast_1d(seed).astype(jnp.int32),
+        tables.nodes,
+        tables.thr1,
+        tables.thr2,
+        *masks,
+        noise_u16,
+        words,
+    )
+    return unpack_bits(out[:, :w], n)
+
+
+def _wsweep_1flip_chunked_kernel(*refs, chunk, k_planes, has_neg):
+    n_masks = k_planes * (2 if has_neg else 1)
+    plane_refs = refs[:n_masks]
+    bits_ref, out_ref = refs[n_masks:]
+    c = pl.program_id(1)
+
+    @pl.when(c == 0)
+    def _():
+        out_ref[:] = bits_ref[:]
+
+    words0 = out_ref[:]
+    lane = jax.lax.broadcasted_iota(jnp.int32, words0.shape, 1)
+
+    def body(j, words):
+        i = c * chunk + j  # global node id (natural order)
+        word_i = jax.lax.shift_right_logical(i, 5)
+        bitpos = i & 31
+        hot = (lane == word_i).astype(jnp.int32)
+        cur_word = jnp.sum(words * hot, axis=1, keepdims=True)
+        cur = jax.lax.shift_right_logical(cur_word, bitpos) & 1
+        cut_i = jnp.zeros_like(cur)
+        wdeg = jnp.int32(0)
+        for b in range(k_planes):
+            row = plane_refs[b][pl.ds(j, 1), :]
+            degb = jnp.sum(jax.lax.population_count(row))
+            pb = _pcs(words, row)
+            t = jnp.where(cur == 1, degb - pb, pb)
+            db = degb
+            if has_neg:
+                rown = plane_refs[k_planes + b][pl.ds(j, 1), :]
+                degnb = jnp.sum(jax.lax.population_count(rown))
+                pn = _pcs(words, rown)
+                t = t - jnp.where(cur == 1, degnb - pn, pn)
+                db = db - degnb
+            cut_i = cut_i + (t << b)
+            wdeg = wdeg + (db << b)
+        accept = (wdeg - 2 * cut_i > 0).astype(jnp.int32)
+        flip = jax.lax.shift_left(accept, bitpos)
+        return jax.lax.bitwise_xor(words, hot * flip)
+
+    out_ref[:] = jax.lax.fori_loop(0, chunk, body, words0)
+
+
+def _sweep_1flip_chunked_call(
+    bits: jax.Array,
+    adj_planes: WeightedAdjPlanes,
+    block_chains: int,
+    node_chunk: int,
+    interpret: bool,
+) -> jax.Array:
+    b, n = bits.shape
+    if b % block_chains != 0:
+        raise ValueError(f"chains {b} not a multiple of block {block_chains}")
+    if n % node_chunk != 0 or node_chunk % 8 != 0:
+        raise ValueError(
+            f"node_chunk {node_chunk} must divide N={n} and be a multiple of 8"
+        )
+    wpad = adj_planes.wpad
+    words = pack_bits(bits)
+    w = words.shape[1]
+    words = jnp.pad(words, ((0, 0), (0, wpad - w)))
+    masks = [*adj_planes.planes_pos, *adj_planes.planes_neg]
+    mask_spec = pl.BlockSpec(
+        (node_chunk, wpad), lambda i, c: (c, 0), memory_space=pltpu.VMEM
+    )
+    state_spec = pl.BlockSpec(
+        (block_chains, wpad), lambda i, c: (i, 0), memory_space=pltpu.VMEM
+    )
+    out = pl.pallas_call(
+        functools.partial(
+            _wsweep_1flip_chunked_kernel,
+            chunk=node_chunk,
+            k_planes=len(adj_planes.planes_pos),
+            has_neg=bool(adj_planes.planes_neg),
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, wpad), jnp.int32),
+        grid=(b // block_chains, n // node_chunk),
+        in_specs=[*([mask_spec] * len(masks)), state_spec],
+        out_specs=state_spec,
+        interpret=interpret,
+    )(*masks, words)
+    return unpack_bits(out[:, :w], n)
+
+
+# ------------------------------------------------------------ VMEM sizing
+# v5e cores have ~16 MB of VMEM; leave headroom for Mosaic's double
+# buffering of streamed blocks and the compiler's own scratch.
+VMEM_BUDGET = 11 * 2**20
+
+
+def resident_masks_fit(
+    n: int, wpad: int, n_masks: int, block_chains: int, noise_rows: int = 0
+) -> bool:
+    """Whether `n_masks` whole [N, WPAD] int32 tables (+ the packed state
+    blocks and an optional injected-noise table) fit the VMEM budget."""
+    state = 3 * block_chains * wpad * 4  # bits in + out + working copy
+    noise = noise_rows * block_chains * 4
+    return n_masks * n * wpad * 4 + state + noise <= VMEM_BUDGET
+
+
+def pick_node_chunk(
+    n: int, wpad: int, n_masks: int, block_chains: int, with_noise: bool = False
+) -> Optional[int]:
+    """None when the resident-mask kernel fits VMEM; otherwise the largest
+    node chunk (multiple of 8, dividing N) whose double-buffered streamed
+    footprint fits. Raises ValueError when N admits no such chunk (odd N —
+    fall back to the XLA sweep or the resident kernel at smaller N)."""
+    if resident_masks_fit(n, wpad, n_masks, block_chains):
+        return None
+    state = 3 * block_chains * wpad * 4
+    for chunk in range((n // 8) * 8, 0, -8):
+        if n % chunk:
+            continue
+        cost = 2 * n_masks * chunk * wpad * 4 + state
+        if with_noise:
+            cost += 2 * chunk * block_chains * 4
+        if cost <= VMEM_BUDGET:
+            return chunk
+    raise ValueError(
+        f"no node chunk divides N={n}; use the XLA sweep for this instance"
+    )

@@ -147,3 +147,49 @@ def test_non_integer_weights_rejected():
         WeightedSweepTables.build(g)
     with pytest.raises(ValueError, match="integer"):
         WeightedAdjPlanes.build(g)
+
+
+def test_chunked_sweep_matches_resident_and_twin():
+    """Node-chunked mask streaming (the G70-scale path) is bit-identical to
+    the resident-mask kernel and the XLA twin."""
+    g = weighted_graph(n=96, seed=21, w_max=4)
+    t = WeightedSweepTables.build(g)
+    b, n, sweeps = 16, g.num_nodes, 2
+    key = jax.random.PRNGKey(8)
+    bits = jax.random.bernoulli(key, 0.5, (b, n))
+    noise = jax.random.randint(jax.random.fold_in(key, 1), (sweeps * n, b), 0, 65536)
+    resident = mcpg_sweep_weighted(
+        noise, bits, t, num_sweeps=sweeps, block_chains=b, interpret=True
+    )
+    chunked = mcpg_sweep_weighted(
+        noise, bits, t, num_sweeps=sweeps, block_chains=b, node_chunk=24,
+        interpret=True,
+    )
+    ref = mcpg_sweep_reference(noise, bits, t, g, num_sweeps=sweeps)
+    np.testing.assert_array_equal(np.asarray(chunked), np.asarray(resident))
+    np.testing.assert_array_equal(np.asarray(chunked), np.asarray(ref))
+
+
+def test_chunked_1flip_matches_env_sweep():
+    g = weighted_graph(n=64, seed=23, w_max=3)
+    planes = WeightedAdjPlanes.build(g)
+    env = MaxcutEnv(g, dtype=jnp.float32)
+    key = jax.random.PRNGKey(9)
+    xs = env.random_xs(key, 16)
+    vs = env.obj(xs)
+    out = sweep_1flip_weighted(xs, planes, block_chains=16, node_chunk=16,
+                               interpret=True)
+    xs_ref, _ = env.sweep_1flip(xs, vs)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(xs_ref))
+
+
+def test_chunked_validation_errors():
+    import pytest
+
+    g = weighted_graph(n=64, seed=23, w_max=3)
+    t = WeightedSweepTables.build(g)
+    bits = jnp.zeros((8, 64), bool)
+    noise = jnp.zeros((64, 8), jnp.int32)
+    with pytest.raises(ValueError, match="node_chunk"):
+        mcpg_sweep_weighted(noise, bits, t, block_chains=8, node_chunk=20,
+                            interpret=True)
