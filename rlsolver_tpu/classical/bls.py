@@ -36,6 +36,8 @@ class BLSConfig:
     strength_step: int = 2  # growth on stagnation
     history_len: int = 8  # fingerprint ring size
     seed: int = 0
+    packed_sweep: bool = False  # bit-packed Pallas 1-flip sweep (TPU; the
+    # chunked bit-plane kernel makes this the G70-scale production path)
 
 
 def _fingerprint(bits: jax.Array, salt: jax.Array) -> jax.Array:
@@ -55,7 +57,7 @@ def solve_maxcut_bls(
     `record(round_idx, best_cut)` is called after every round (for
     cut-vs-time curves); `time_budget` (seconds) stops the outer python
     loop early once exceeded."""
-    env = MaxcutEnv(graph)
+    env = MaxcutEnv(graph, packed_sweep=cfg.packed_sweep)
     n = graph.num_nodes
     key = jax.random.PRNGKey(cfg.seed)
     k_init, k_salt, key = jax.random.split(key, 3)

@@ -1,0 +1,188 @@
+"""Converged instance-wise benchmark at published-Gset scale.
+
+Reference protocol (`/root/reference/README.md:344-350`): run methods on
+G14/G22/G55/G70 under a fixed time budget and compare converged cuts — the
+reference's headline table. The actual Gset instances are not shipped (the
+`data/gset/gset_14.txt` in the tree is a 14-node toy), so this runs on
+seeded stand-ins with the exact Gset sizes/densities:
+
+    G14like:  800 nodes,  4694 edges (seed 14)
+    G22like: 2000 nodes, 19990 edges (seed 22)
+    G70like: 10000 nodes, 9999 edges (seed 70)
+
+Algorithms: BLS (own baseline), MCPG with the per-instance gset presets
+(packed kernels + fused MH), and instance-wise L2A/dREINFORCE. Parity bar
+(VERDICT round-1 item 2): MCPG / L2A >= own BLS at every scale within the
+budget.
+
+Appends cut-vs-time curve rows `instance,alg,seconds,obj` to
+results_quality/instance_wise.csv (resumable per (instance, alg)); run
+`python scripts/instance_wise.py --summarize` for the table.
+"""
+
+from __future__ import annotations
+
+import argparse
+import csv
+import os
+import time
+
+import numpy as np
+
+INSTANCES = {
+    # name: (nodes, edges, seed, mcpg preset key)
+    "G14like": (800, 4694, 14, "gset_14"),
+    "G22like": (2000, 19990, 22, "gset_22"),
+    "G70like": (10000, 9999, 70, "gset_70"),
+}
+
+OUT = "results_quality/instance_wise.csv"
+
+
+def build_instance(name):
+    import networkx as nx
+
+    from rlsolver_tpu.core.graph import Graph
+
+    n, m, seed, _ = INSTANCES[name]
+    gx = nx.gnm_random_graph(n, m, seed=seed)
+    return Graph.from_edge_list(n, [(a, b, 1.0) for a, b in gx.edges], name=name)
+
+
+def done_pairs(path):
+    done = set()
+    if os.path.exists(path):
+        with open(path) as f:
+            for row in csv.reader(f):
+                if row and row[0] != "instance":
+                    done.add((row[0], row[1]))
+    return done
+
+
+class CurveWriter:
+    def __init__(self, path, instance, alg):
+        self.path, self.instance, self.alg = path, instance, alg
+        self.t0 = time.time()
+        self.best = -np.inf
+
+    def add(self, obj, seconds=None):
+        obj = float(obj)
+        if obj <= self.best:
+            return
+        self.best = obj
+        t = seconds if seconds is not None else time.time() - self.t0
+        with open(self.path, "a", newline="") as f:
+            csv.writer(f).writerow(
+                [self.instance, self.alg, f"{t:.1f}", f"{obj:.1f}"]
+            )
+
+
+def run_bls(name, g, budget):
+    from rlsolver_tpu.classical.bls import BLSConfig, solve_maxcut_bls
+
+    w = CurveWriter(OUT, name, "bls")
+    chains = 1024 if g.num_nodes <= 2000 else 256
+    cfg = BLSConfig(num_chains=chains, num_rounds=100000, seed=0,
+                    packed_sweep=True)
+    _, best, _ = solve_maxcut_bls(
+        g, cfg, record=lambda i, b: w.add(b), time_budget=budget
+    )
+    return best
+
+
+def run_mcpg(name, g, budget):
+    import dataclasses
+
+    from rlsolver_tpu.algos.mcpg import GSET_PRESETS, solve_maxcut_mcpg
+
+    w = CurveWriter(OUT, name, "mcpg")
+    cfg = dataclasses.replace(
+        GSET_PRESETS[INSTANCES[name][3]],
+        sweep_mode="packed",
+        sampler="fused",
+        max_epoch_num=10_000,
+    )
+    _, best, ev = solve_maxcut_mcpg(g, cfg, time_budget=budget, verbose=True)
+    for step, v, t in ev.records:
+        w.add(v, seconds=t)
+    return best
+
+
+def run_l2a(name, g, budget):
+    from rlsolver_tpu.algos.l2a import L2AConfig, solve_maxcut_l2a
+
+    w = CurveWriter(OUT, name, "l2a")
+    n = g.num_nodes
+    cfg = L2AConfig(
+        num_sims=256 if n <= 2000 else 64,
+        num_repeats=8 if n <= 2000 else 4,
+        top_k=max(16, n // 64),
+        seq_len=8,
+        num_iters=10_000,
+        embed_dim=64 if n <= 2000 else 32,
+        pretrain_steps=150,
+        packed_sweep=True,
+        seed=0,
+    )
+    _, best, ev = solve_maxcut_l2a(g, cfg, time_budget=budget, verbose=True)
+    for step, v, t in ev.records:
+        w.add(v, seconds=t)
+    return best
+
+
+def summarize():
+    import collections
+
+    best = collections.defaultdict(lambda: (-np.inf, 0.0))
+    with open(OUT) as f:
+        for row in csv.reader(f):
+            if row and row[0] != "instance":
+                k = (row[0], row[1])
+                if float(row[3]) > best[k][0]:
+                    best[k] = (float(row[3]), float(row[2]))
+    names = sorted({k[0] for k in best})
+    algs = ["bls", "mcpg", "l2a"]
+    print(f"{'instance':10s} " + " ".join(f"{a:>14s}" for a in algs))
+    for nm in names:
+        cells = []
+        for a in algs:
+            v, t = best.get((nm, a), (np.nan, np.nan))
+            cells.append(f"{v:8.0f}@{t:5.0f}s")
+        print(f"{nm:10s} " + " ".join(f"{c:>14s}" for c in cells))
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--insts", default="G14like,G22like,G70like")
+    p.add_argument("--algs", default="bls,mcpg,l2a")
+    p.add_argument("--budget", type=float, default=600.0)
+    p.add_argument("--summarize", action="store_true")
+    args = p.parse_args()
+    if args.summarize:
+        summarize()
+        return
+    os.makedirs(os.path.dirname(OUT), exist_ok=True)
+    if not os.path.exists(OUT):
+        with open(OUT, "w", newline="") as f:
+            csv.writer(f).writerow(["instance", "alg", "seconds", "obj"])
+    done = done_pairs(OUT)
+    runners = {"bls": run_bls, "mcpg": run_mcpg, "l2a": run_l2a}
+    for name in args.insts.split(","):
+        g = None
+        for alg in args.algs.split(","):
+            if (name, alg) in done:
+                continue
+            if g is None:
+                g = build_instance(name)
+            print(f"== {name} {alg} (budget {args.budget:.0f}s)", flush=True)
+            t0 = time.time()
+            try:
+                best = runners[alg](name, g, args.budget)
+                print(f"   -> best {best:.0f} in {time.time()-t0:.0f}s", flush=True)
+            except Exception as e:
+                print(f"!! {name} {alg} failed: {e!r}", flush=True)
+    print("done", flush=True)
+
+
+if __name__ == "__main__":
+    main()
