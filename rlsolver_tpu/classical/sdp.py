@@ -41,13 +41,21 @@ def sdp_maxcut(graph: Graph, cfg: SDPConfig = SDPConfig()) -> Tuple[np.ndarray, 
     cg = cut_ops.CutGraph.build(graph, dtype=jnp.float32)
     key = jax.random.PRNGKey(cfg.seed)
     key, k_init, k_round = jax.random.split(key, 3)
+    # Step size scaled by the spectral-radius bound (max weighted degree):
+    # a fixed step turns the update into power iteration on (I - lr * A)
+    # and collapses every v_i onto the Perron eigenvector on dense graphs
+    # (all-identical vectors -> every rounding one-sided -> cut 0).
+    max_deg = float(np.abs(np.asarray(graph.weighted_degrees())).max()) or 1.0
+    step = cfg.lr * 8.0 / max_deg
 
     @jax.jit
     def optimize(v):
         def body(v, _):
             # d/dv of -1/4 sum w_ij v_i.v_j  ->  ascent direction -A v / 2
             grad = -jnp.matmul(adj, v, preferred_element_type=jnp.float32)
-            v = v + cfg.lr * grad
+            # Riemannian (tangent) projection keeps the update a rotation
+            grad = grad - jnp.sum(grad * v, axis=1, keepdims=True) * v
+            v = v + step * grad
             v = v / jnp.linalg.norm(v, axis=1, keepdims=True)
             return v, None
 

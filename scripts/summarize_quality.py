@@ -1,0 +1,101 @@
+"""Render results_quality/dist_table.csv into the distribution-wise
+benchmark table (reference `README.md:356-371`, `Benchmark.rst:17-76`):
+per (distribution, N) average best cut per method over the 10 seeded
+instances, plus the HiGHS time-limited bound and the MCPG/L2A gap to it.
+
+Writes results_quality/DIST_TABLE.md. Usage: python scripts/summarize_quality.py
+"""
+
+from __future__ import annotations
+
+import collections
+import csv
+
+IN = "results_quality/dist_table.csv"
+OUT = "results_quality/DIST_TABLE.md"
+ALGS = ["rw", "greedy", "sdp", "sa", "ga", "mcpg", "l2a", "milp", "milp_bound"]
+LABEL = {
+    "rw": "RandomWalk", "greedy": "Greedy", "sdp": "SDP-GW", "sa": "SA",
+    "ga": "GA+tabu", "mcpg": "MCPG", "l2a": "L2A", "milp": "HiGHS-60s",
+    "milp_bound": "HiGHS bound",
+}
+
+
+def main():
+    rows = collections.defaultdict(dict)  # (dist, n) -> alg -> [objs]
+    times = collections.defaultdict(dict)
+    with open(IN) as f:
+        for r in csv.reader(f):
+            if not r or r[0] == "dist":
+                continue
+            dist, n, _gid, alg, obj, sec = r[0], int(r[1]), r[2], r[3], float(r[4]), float(r[5])
+            rows[(dist, n)].setdefault(alg, []).append(obj)
+            times[(dist, n)].setdefault(alg, []).append(sec)
+
+    def avg(v):
+        return sum(v) / len(v)
+
+    lines = [
+        "# Distribution-wise maxcut benchmark (10 seeded instances per cell)",
+        "",
+        "Average best cut per method; reference protocol `README.md:356-371`.",
+        "Instances are the seeded `{dist}_{N}_ID{i}` generator contract",
+        "(`core/generate.py`), identical to the reference's `load_mygraph2`",
+        "seeding. `HiGHS bound` is the time-limited MILP dual bound (the",
+        "reference's Gurobi-1h 'obj bound' column, `README.md:335`); `gap%` =",
+        "(bound - alg) / bound for the best learned method.",
+        "",
+    ]
+    for dist in ("BA", "ER", "PL"):
+        ns = sorted(n for (d, n) in rows if d == dist)
+        if not ns:
+            continue
+        lines.append(f"## {dist}")
+        lines.append("")
+        header = "| N | " + " | ".join(LABEL[a] for a in ALGS) + " | best-RL gap% |"
+        lines.append(header)
+        lines.append("|" + "---|" * (len(ALGS) + 2))
+        for n in ns:
+            cell = rows[(dist, n)]
+            vals = []
+            for a in ALGS:
+                if a in cell and len(cell[a]) > 0:
+                    suffix = "*" if len(cell[a]) < 10 else ""
+                    vals.append(f"{avg(cell[a]):.1f}{suffix}")
+                else:
+                    vals.append("—")
+            rl = max(
+                (avg(cell[a]) for a in ("mcpg", "l2a") if a in cell), default=None
+            )
+            if rl is not None and "milp_bound" in cell:
+                gap = (avg(cell["milp_bound"]) - rl) / avg(cell["milp_bound"]) * 100
+                gap_s = f"{gap:+.2f}"
+            else:
+                gap_s = "—"
+            lines.append(f"| {n} | " + " | ".join(vals) + f" | {gap_s} |")
+        lines.append("")
+    lines.append("`*` = fewer than 10 instances recorded yet (run in progress).")
+    lines.append("")
+
+    # RL-vs-classical dominance check (VERDICT round-1 done criterion)
+    viol = []
+    for (dist, n), cell in sorted(rows.items()):
+        if "ga" in cell and ("mcpg" in cell or "l2a" in cell):
+            rl = max(avg(cell[a]) for a in ("mcpg", "l2a") if a in cell)
+            if rl < avg(cell["ga"]) - 1e-9:
+                viol.append(f"{dist}_{n}: best RL {rl:.1f} < GA {avg(cell['ga']):.1f}")
+    lines.append("## MCPG/L2A >= GA check")
+    lines.append("")
+    if viol:
+        lines.extend(f"- VIOLATION {v}" for v in viol)
+    else:
+        lines.append("- holds at every (distribution, N) recorded so far")
+    lines.append("")
+
+    with open(OUT, "w") as f:
+        f.write("\n".join(lines))
+    print("\n".join(lines))
+
+
+if __name__ == "__main__":
+    main()

@@ -192,3 +192,16 @@ def test_set_cover_sa_swap_moves():
     bits, v = anneal_set_cover(sc, SAConfig(num_chains=64, num_steps=800, seed=1))
     assert v >= gr_v  # never worse than its own warm start
     assert hobj.obj_set_cover(bits.astype(int), sc) == v  # feasible + exact re-score
+
+
+def test_sdp_no_perron_collapse_on_dense_er():
+    """Regression: a fixed (degree-independent) step turned the Burer-
+    Monteiro ascent into power iteration on (I - lr*A) on dense ER graphs,
+    collapsing all vectors onto the Perron eigenvector (cut = 0)."""
+    from rlsolver_tpu.core.generate import graph_from_name
+
+    g = graph_from_name("ER_300_ID0")
+    bits, v = sdp_maxcut(g, SDPConfig(seed=0))
+    assert v == hobj.obj_maxcut(bits.astype(int), g)
+    # random bipartition gives ~ m/2; Perron collapse gives 0
+    assert v > 0.5 * g.num_edges
