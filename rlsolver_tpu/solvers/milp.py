@@ -43,6 +43,44 @@ class MilpResult:
     status: str
 
 
+@dataclasses.dataclass
+class MilpFormulation:
+    """Backend-independent binary MILP: optimize c.x s.t. lo <= A x <= hi.
+
+    Shared by the HiGHS `_solve` below and the gated SCIP adapter
+    (`rlsolver_tpu.solvers.scip.solve_formulation`), so the formulations the
+    licensed-solver adapters ship are the exact objects the test suite
+    exercises through HiGHS."""
+
+    c: np.ndarray  # [nv]
+    a: "sparse.csr_matrix"  # [nc, nv]
+    lo: np.ndarray  # [nc]
+    hi: np.ndarray  # [nc]
+    maximize: bool
+    n_report: Optional[int] = None  # report solution[:n_report]
+    negate_obj: bool = False  # report -obj (reference partitioning output)
+
+    @property
+    def num_vars(self) -> int:
+        return self.c.shape[0]
+
+
+def _solve_formulation(f: MilpFormulation, time_limit: float) -> MilpResult:
+    res = _solve(
+        f.c,
+        [LinearConstraint(f.a, f.lo, f.hi)],
+        np.ones(f.num_vars),
+        Bounds(0, 1),
+        time_limit,
+        f.maximize,
+    )
+    if f.n_report is not None and res.solution.size:
+        res.solution = res.solution[: f.n_report]
+    if f.negate_obj and res.solution.size:
+        res.obj = -res.obj
+    return res
+
+
 def _solve(c, constraints, integrality, bounds, time_limit, maximize):
     """scipy.optimize.milp minimizes; flip sign for maximization."""
     sign = -1.0 if maximize else 1.0
@@ -60,7 +98,7 @@ def _solve(c, constraints, integrality, bounds, time_limit, maximize):
     return MilpResult(float(obj), float(bound), np.round(res.x).astype(int), res.message)
 
 
-def solve_maxcut(graph: Graph, time_limit: float = 60.0) -> MilpResult:
+def build_maxcut(graph: Graph) -> MilpFormulation:
     n, m = graph.num_nodes, graph.num_edges
     n0, n1, w = graph.edge_arrays()
     nv = n + m  # x nodes, y edges
@@ -83,21 +121,30 @@ def solve_maxcut(graph: Graph, time_limit: float = 60.0) -> MilpResult:
         add_row(r, [(y, 1), (i, -1), (j, -1)], -np.inf, 0); r += 1  # y <= x_i + x_j
         add_row(r, [(y, 1), (i, 1), (j, 1)], -np.inf, 2); r += 1  # y <= 2 - x_i - x_j
     a = sparse.csr_matrix((vals, (rows, cols)), shape=(r, nv))
-    cons = LinearConstraint(a, lo, hi)
-    res = _solve(
-        c,
-        [cons],
-        integrality=np.ones(nv),
-        bounds=Bounds(0, 1),
-        time_limit=time_limit,
-        maximize=True,
+    return MilpFormulation(c, a, np.asarray(lo, float), np.asarray(hi, float),
+                           maximize=True, n_report=n)
+
+
+def solve_maxcut(graph: Graph, time_limit: float = 60.0) -> MilpResult:
+    return _solve_formulation(build_maxcut(graph), time_limit)
+
+
+def build_mis(graph: Graph) -> MilpFormulation:
+    n = graph.num_nodes
+    n0, n1, _ = graph.edge_arrays()
+    m = graph.num_edges
+    a = sparse.csr_matrix(
+        (np.ones(2 * m), (np.repeat(np.arange(m), 2), np.stack([n0, n1], 1).ravel())),
+        shape=(m, n),
     )
-    if res.solution.size:
-        res.solution = res.solution[:n]
-    return res
+    return MilpFormulation(np.ones(n), a, np.full(m, -np.inf), np.ones(m), True)
 
 
 def solve_mis(graph: Graph, time_limit: float = 60.0) -> MilpResult:
+    return _solve_formulation(build_mis(graph), time_limit)
+
+
+def build_mvc(graph: Graph) -> MilpFormulation:
     n = graph.num_nodes
     n0, n1, _ = graph.edge_arrays()
     m = graph.num_edges
@@ -105,44 +152,54 @@ def solve_mis(graph: Graph, time_limit: float = 60.0) -> MilpResult:
         (np.ones(2 * m), (np.repeat(np.arange(m), 2), np.stack([n0, n1], 1).ravel())),
         shape=(m, n),
     )
-    cons = LinearConstraint(a, -np.inf, 1)
-    return _solve(np.ones(n), [cons], np.ones(n), Bounds(0, 1), time_limit, True)
+    return MilpFormulation(np.ones(n), a, np.ones(m), np.full(m, np.inf), False)
 
 
 def solve_mvc(graph: Graph, time_limit: float = 60.0) -> MilpResult:
-    n = graph.num_nodes
-    n0, n1, _ = graph.edge_arrays()
-    m = graph.num_edges
-    a = sparse.csr_matrix(
-        (np.ones(2 * m), (np.repeat(np.arange(m), 2), np.stack([n0, n1], 1).ravel())),
-        shape=(m, n),
+    return _solve_formulation(build_mvc(graph), time_limit)
+
+
+def build_set_cover(inst: SetCoverInstance) -> MilpFormulation:
+    member = inst.membership_matrix().astype(float)  # [S, I]
+    ni = inst.num_items
+    return MilpFormulation(
+        np.ones(inst.num_sets), sparse.csr_matrix(member.T),
+        np.ones(ni), np.full(ni, np.inf), False,
     )
-    cons = LinearConstraint(a, 1, np.inf)
-    return _solve(np.ones(n), [cons], np.ones(n), Bounds(0, 1), time_limit, False)
 
 
 def solve_set_cover(inst: SetCoverInstance, time_limit: float = 60.0) -> MilpResult:
-    member = inst.membership_matrix().astype(float)  # [S, I]
-    cons = LinearConstraint(sparse.csr_matrix(member.T), 1, np.inf)
-    s = inst.num_sets
-    return _solve(np.ones(s), [cons], np.ones(s), Bounds(0, 1), time_limit, False)
+    return _solve_formulation(build_set_cover(inst), time_limit)
+
+
+def build_knapsack(inst: KnapsackInstance) -> MilpFormulation:
+    return MilpFormulation(
+        np.asarray(inst.profits, float),
+        sparse.csr_matrix(inst.weights[None, :].astype(float)),
+        np.asarray([-np.inf]), np.asarray([float(inst.capacity)]), True,
+    )
 
 
 def solve_knapsack(inst: KnapsackInstance, time_limit: float = 60.0) -> MilpResult:
-    n = inst.num_items
-    cons = LinearConstraint(inst.weights[None, :].astype(float), -np.inf, inst.capacity)
-    return _solve(inst.profits, [cons], np.ones(n), Bounds(0, 1), time_limit, True)
+    return _solve_formulation(build_knapsack(inst), time_limit)
 
 
 def solve_multiknapsack(inst, time_limit: float = 60.0) -> MilpResult:
     """Multi-dimensional knapsack (`read_multiknapsack_data` instances,
     `util_read_data.py:245-311`): max p.x s.t. C x <= rhs, x binary."""
-    n = inst.profits.shape[0]
-    cons = LinearConstraint(inst.constraints.astype(float), -np.inf, inst.rhs)
-    return _solve(inst.profits, [cons], np.ones(n), Bounds(0, 1), time_limit, True)
+    return _solve_formulation(build_multiknapsack(inst), time_limit)
 
 
-def solve_graph_partitioning(graph: Graph, time_limit: float = 60.0) -> MilpResult:
+def build_multiknapsack(inst) -> MilpFormulation:
+    nc = inst.rhs.shape[0]
+    return MilpFormulation(
+        np.asarray(inst.profits, float),
+        sparse.csr_matrix(inst.constraints.astype(float)),
+        np.full(nc, -np.inf), np.asarray(inst.rhs, float), True,
+    )
+
+
+def build_graph_partitioning(graph: Graph) -> MilpFormulation:
     """Minimize cut subject to |side 1| == n/2 (n must be even)."""
     n, m = graph.num_nodes, graph.num_edges
     if n % 2:
@@ -170,10 +227,9 @@ def solve_graph_partitioning(graph: Graph, time_limit: float = 60.0) -> MilpResu
     hi.append(n / 2)
     r += 1
     a = sparse.csr_matrix((vals, (rows, cols)), shape=(r, nv))
-    res = _solve(
-        c, [LinearConstraint(a, lo, hi)], np.ones(nv), Bounds(0, 1), time_limit, False
-    )
-    if res.solution.size:
-        res.solution = res.solution[:n]
-        res.obj = -res.obj  # report as the reference does: -(cut)
-    return res
+    return MilpFormulation(c, a, np.asarray(lo, float), np.asarray(hi, float),
+                           maximize=False, n_report=n, negate_obj=True)
+
+
+def solve_graph_partitioning(graph: Graph, time_limit: float = 60.0) -> MilpResult:
+    return _solve_formulation(build_graph_partitioning(graph), time_limit)

@@ -82,3 +82,37 @@ def test_gurobi_adapter_dispatch_is_gated():
     else:
         with pytest.raises(ImportError):
             gurobi.solve_problem_qubo("maxcut", G)
+
+
+def test_milp_builders_shared_with_scip_adapter():
+    """The gated SCIP adapter consumes the same MilpFormulation objects the
+    HiGHS path solves (round-1 weak item: formulation code must be shared
+    and therefore tested)."""
+    import numpy as np
+    import pytest
+
+    from rlsolver_tpu.core.generate import graph_from_name
+    from rlsolver_tpu.core.io import KnapsackInstance, SetCoverInstance
+    from rlsolver_tpu.solvers import milp, scip
+
+    g = graph_from_name("BA_24_ID0")
+    sc = SetCoverInstance(4, ((1, 2), (2, 3), (3, 4), (1, 4)))
+    kp = KnapsackInstance(
+        instance_id=0, capacity=6.0,
+        weights=np.array([2.0, 3.0, 4.0]), profits=np.array([3.0, 4.0, 5.0]),
+    )
+    fs = [
+        milp.build_maxcut(g), milp.build_mis(g), milp.build_mvc(g),
+        milp.build_graph_partitioning(g), milp.build_set_cover(sc),
+        milp.build_knapsack(kp),
+    ]
+    for f in fs:
+        assert f.a.shape == (f.lo.shape[0], f.num_vars)
+        assert f.hi.shape == f.lo.shape
+        assert np.all(f.lo <= f.hi)
+        # HiGHS solves the exact same object
+        res = milp._solve_formulation(f, time_limit=20.0)
+        assert np.isfinite(res.obj)
+    if not scip.HAS_SCIP:
+        with pytest.raises(ImportError, match="pyscipopt"):
+            scip.solve_formulation(fs[0])
