@@ -303,11 +303,32 @@ def evaluate_l2a_distribution(
     embed_v = jax.jit(jax.vmap(lambda adj: enc.embed(enc_params, adj[None])[0]))
 
     key = jax.random.PRNGKey(seed)
-    keys = jax.random.split(key, num_graphs)
     seqs = embed_v(adj_stack)
-    xs = jax.vmap(lambda k: jax.random.bernoulli(k, 0.5, (sims, n)))(keys)
-    vs = jax.jit(jax.vmap(_cut_value_adj))(xs, adj_stack)
-    for b in range(max(1, num_rounds // block_len)):
-        key, k = jax.random.split(key)
-        xs, vs = block_v(adj_stack, seqs, xs, vs, jax.random.split(k, num_graphs))
-    return np.asarray(polish_v(adj_stack, xs, vs))
+
+    # HBM budget: the policy's cross-attention materializes
+    # f32[g, s, heads, N, N] score tensors — 12 GB for 10 graphs x 512 sims
+    # at N = 400 (this OOMed the v5e during the distribution-table runs).
+    # Evaluate graph-by-graph and chunk the sim axis so one call's scores
+    # stay under ~3 GB; chunks are independent restarts of the same
+    # policy-guided search, so the max over chunks is the same protocol.
+    heads = getattr(cfg, "num_heads", 4)
+    bytes_per_sim = 4 * heads * n * n
+    sims_chunk = int(max(8, min(sims, 3e9 // max(1, bytes_per_sim))))
+    num_chunks = -(-sims // sims_chunk)
+    sims_chunk = -(-sims // num_chunks)  # equalize so every chunk compiles once
+
+    out = np.zeros(num_graphs)
+    rounds = max(1, num_rounds // block_len)
+    for gi in range(num_graphs):
+        adj1, seq1 = adj_stack[gi : gi + 1], seqs[gi : gi + 1]
+        best = -np.inf
+        for c in range(num_chunks):
+            key, k_init = jax.random.split(key)
+            xs = jax.random.bernoulli(k_init, 0.5, (1, sims_chunk, n))
+            vs = jax.jit(jax.vmap(_cut_value_adj))(xs, adj1)
+            for b in range(rounds):
+                key, k = jax.random.split(key)
+                xs, vs = block_v(adj1, seq1, xs, vs, k[None])
+            best = max(best, float(polish_v(adj1, xs, vs)[0]))
+        out[gi] = best
+    return out
