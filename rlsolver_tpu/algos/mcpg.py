@@ -64,17 +64,30 @@ class MCPGConfig:
     # fixed 2 * change_times proposal rounds instead of the accept budget)
 
 
-# Per-instance tuned presets (reference `MCPG.py:41-84`; the large variants
-# are the 40 GB-GPU settings, comfortable in 16 GB of TPU HBM).
+# Per-instance tuned presets (reference `MCPG.py:41-84`). The reference's
+# repeat_times target a 40 GB A100; a v5e chip has 16 GB of HBM and the
+# live set is ~4 bool [B, N] population copies + one f32 [B, N] objective
+# intermediate (~10 bytes/chain-bit), so repeats here keep
+# B * N = chains * repeats * nodes under ~10^9. Chain counts match the
+# reference; quality comes from epochs rather than population width.
 GSET_PRESETS = {
     "gset_14": MCPGConfig(total_mcmc_num=512, repeat_times=128, num_ls=8,
                           reset_epoch_num=128, max_epoch_num=30),
-    "gset_22": MCPGConfig(total_mcmc_num=2048, repeat_times=512, num_ls=8,
+    "gset_22": MCPGConfig(total_mcmc_num=2048, repeat_times=224, num_ls=8,
                           reset_epoch_num=256, max_epoch_num=30),
-    "gset_55": MCPGConfig(total_mcmc_num=1024, repeat_times=448, num_ls=8,
+    "gset_55": MCPGConfig(total_mcmc_num=1024, repeat_times=192, num_ls=8,
                           reset_epoch_num=192, max_epoch_num=30),
-    "gset_70": MCPGConfig(total_mcmc_num=768, repeat_times=288, num_ls=8,
+    "gset_70": MCPGConfig(total_mcmc_num=768, repeat_times=96, num_ls=8,
                           reset_epoch_num=320, max_epoch_num=30),
+}
+
+# The reference's 40 GB-GPU repeat counts (`MCPG.py:49-84`), for parity
+# documentation and larger-HBM deployments.
+GSET_PRESETS_40G = {
+    "gset_14": GSET_PRESETS["gset_14"],
+    "gset_22": dataclasses.replace(GSET_PRESETS["gset_22"], repeat_times=512),
+    "gset_55": dataclasses.replace(GSET_PRESETS["gset_55"], repeat_times=448),
+    "gset_70": dataclasses.replace(GSET_PRESETS["gset_70"], repeat_times=288),
 }
 
 

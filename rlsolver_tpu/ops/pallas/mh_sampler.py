@@ -147,21 +147,53 @@ def mh_sample_pallas(
     return out > 0.5
 
 
+# pack/unpack materialize an int32 [B', W, 32] temporary — 32x the packed
+# size. At gset-preset chain counts (10^6 chains) that is > 8 GB, so both
+# chunk the chain axis with lax.map to bound the temporary at ~0.5 GB.
+_CODEC_CHUNK = 1 << 16
+
+
+def _chunks_of(b: int) -> int:
+    """Largest divisor of b that is <= _CODEC_CHUNK (b itself when small)."""
+    if b <= _CODEC_CHUNK:
+        return b
+    for c in range(_CODEC_CHUNK, 0, -1):
+        if b % c == 0:
+            return c
+    return b
+
+
 def pack_bits(bits: jax.Array) -> jax.Array:
     """bool [B, N] -> little-endian int32 bit-words [B, ceil(N/32)]."""
     b, n = bits.shape
     w = (n + 31) // 32
-    x = jnp.pad(bits.astype(jnp.int32), ((0, 0), (0, w * 32 - n)))
     weights = jnp.left_shift(jnp.int32(1), jnp.arange(32, dtype=jnp.int32))
-    return jnp.sum(x.reshape(b, w, 32) * weights, axis=-1, dtype=jnp.int32)
+
+    def one(x):  # [c, N] bool -> [c, w] int32
+        x = jnp.pad(x.astype(jnp.int32), ((0, 0), (0, w * 32 - n)))
+        return jnp.sum(x.reshape(-1, w, 32) * weights, axis=-1, dtype=jnp.int32)
+
+    c = _chunks_of(b)
+    if c == b:
+        return one(bits)
+    out = jax.lax.map(one, bits.reshape(b // c, c, n))
+    return out.reshape(b, w)
 
 
 def unpack_bits(words: jax.Array, n: int) -> jax.Array:
     """int32 bit-words [B, W] -> bool [B, n] (inverse of `pack_bits`)."""
     b, w = words.shape
     shifts = jnp.arange(32, dtype=jnp.int32)
-    bits = jax.lax.shift_right_logical(words[:, :, None], shifts[None, None, :]) & 1
-    return bits.reshape(b, w * 32)[:, :n].astype(bool)
+
+    def one(ws):  # [c, W] int32 -> [c, n] bool
+        bits = jax.lax.shift_right_logical(ws[:, :, None], shifts[None, None, :]) & 1
+        return bits.reshape(-1, w * 32)[:, :n].astype(bool)
+
+    c = _chunks_of(b)
+    if c == b:
+        return one(words)
+    out = jax.lax.map(one, words.reshape(b // c, c, w))
+    return out.reshape(b, n)
 
 
 def _mh_packed_kernel(nodes_ref, acc_ref, bits_ref, out_ref, *, rounds_chunk):

@@ -113,14 +113,24 @@ def run_l2a(name, g, budget):
 
     w = CurveWriter(OUT, name, "l2a")
     n = g.num_nodes
+    # The TrsCell policy materializes [num_sims, heads, N, N] attention
+    # scores — num_sims must shrink with N^2 to fit 16 GB of HBM; search
+    # width is preserved through num_repeats (the local-search fan-out).
+    if n <= 1000:
+        sims, reps, heads, embed = 256, 8, 4, 64
+    elif n <= 2500:
+        sims, reps, heads, embed = 32, 16, 4, 64
+    else:
+        sims, reps, heads, embed = 4, 16, 2, 32
     cfg = L2AConfig(
-        num_sims=256 if n <= 2000 else 64,
-        num_repeats=8 if n <= 2000 else 4,
+        num_sims=sims,
+        num_repeats=reps,
+        num_heads=heads,
         top_k=max(16, n // 64),
         seq_len=8,
         num_iters=10_000,
-        embed_dim=64 if n <= 2000 else 32,
-        pretrain_steps=150,
+        embed_dim=embed,
+        pretrain_steps=150 if n <= 2500 else 40,
         packed_sweep=True,
         seed=0,
     )
@@ -157,6 +167,12 @@ def main():
     p.add_argument("--algs", default="bls,mcpg,l2a")
     p.add_argument("--budget", type=float, default=600.0)
     p.add_argument("--summarize", action="store_true")
+    p.add_argument(
+        "--inline",
+        action="store_true",
+        help="run in-process (default: one subprocess per (instance, alg) so "
+        "an OOM'd jit cannot poison the rest of the campaign's HBM)",
+    )
     args = p.parse_args()
     if args.summarize:
         summarize()
@@ -172,10 +188,22 @@ def main():
         for alg in args.algs.split(","):
             if (name, alg) in done:
                 continue
-            if g is None:
-                g = build_instance(name)
             print(f"== {name} {alg} (budget {args.budget:.0f}s)", flush=True)
             t0 = time.time()
+            if not args.inline:
+                import subprocess
+                import sys
+
+                r = subprocess.run(
+                    [sys.executable, "-u", os.path.abspath(__file__), "--inline",
+                     "--insts", name, "--algs", alg,
+                     "--budget", str(args.budget)],
+                    cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                )
+                print(f"   subprocess exit {r.returncode}", flush=True)
+                continue
+            if g is None:
+                g = build_instance(name)
             try:
                 best = runners[alg](name, g, args.budget)
                 print(f"   -> best {best:.0f} in {time.time()-t0:.0f}s", flush=True)
