@@ -32,6 +32,51 @@ def solution_to_prob_channels(xs: jax.Array) -> jax.Array:
     return jnp.stack([s, -s], axis=-1)
 
 
+class ChunkedMHA(nn.Module):
+    """Multi-head attention with a bounded score-tensor footprint.
+
+    `nn.MultiHeadDotProductAttention` materializes f32[B, H, N, N] scores —
+    16 GB for 256 sims at N = 2000 — which is what capped L2A's sim count
+    on large instances. This computes the exact same attention with a
+    `lax.map` over query chunks (full key axis per chunk, so softmax is
+    exact, not an approximation): peak score memory is
+    B * H * q_chunk * N * 4 bytes, bounded by `score_budget`.
+    """
+
+    num_heads: int
+    score_budget: int = 1 << 28  # 256 MB of f32 scores per call
+
+    @nn.compact
+    def __call__(self, q_in: jax.Array, kv_in: jax.Array) -> jax.Array:
+        d = q_in.shape[-1]
+        h = self.num_heads
+        dh = d // h
+        q = nn.DenseGeneral((h, dh), name="query")(q_in)  # [B, N, H, dh]
+        k = nn.DenseGeneral((h, dh), name="key")(kv_in)
+        v = nn.DenseGeneral((h, dh), name="value")(kv_in)
+        q = q / jnp.sqrt(dh).astype(q.dtype)
+        b, n = q.shape[0], q.shape[1]
+
+        def attend(qc):  # [B, qc, H, dh] -> [B, qc, H, dh]
+            scores = jnp.einsum("bqhd,bkhd->bhqk", qc, k)
+            w = jax.nn.softmax(scores, axis=-1)
+            return jnp.einsum("bhqk,bkhd->bqhd", w, v)
+
+        full_bytes = 4 * b * h * n * n
+        if full_bytes <= self.score_budget:
+            out = attend(q)
+        else:
+            qc = max(1, self.score_budget // (4 * b * h * n))
+            nc = -(-n // qc)
+            qc = -(-n // nc)
+            pad = nc * qc - n
+            qp = jnp.pad(q, ((0, 0), (0, pad), (0, 0), (0, 0)))
+            qp = jnp.moveaxis(qp.reshape(b, nc, qc, h, dh), 1, 0)
+            out = jax.lax.map(attend, qp)  # [nc, B, qc, H, dh]
+            out = jnp.moveaxis(out, 0, 1).reshape(b, nc * qc, h, dh)[:, :n]
+        return nn.DenseGeneral(d, axis=(-2, -1), name="out")(out)
+
+
 class _MLP(nn.Module):
     dims: tuple
     act: str = "gelu"
@@ -52,7 +97,7 @@ class EncoderBlock(nn.Module):
     @nn.compact
     def __call__(self, x):
         h = nn.LayerNorm()(x)
-        h = nn.MultiHeadDotProductAttention(num_heads=self.num_heads, name="attn")(h, h)
+        h = ChunkedMHA(num_heads=self.num_heads, name="attn")(h, h)
         x = x + h
         h = nn.LayerNorm()(x)
         h = nn.Dense(self.mlp_dim)(h)
@@ -109,12 +154,8 @@ class PolicyTrs(nn.Module):
         g = jnp.broadcast_to(seq_graph[None], (b,) + seq_graph.shape)
         p = nn.Dense(self.embed_dim // 4, name="prob_embed")(prob_ch)
         x = nn.Dense(self.embed_dim, name="mix")(jnp.concatenate([g, p], axis=-1))
-        x = x + nn.MultiHeadDotProductAttention(num_heads=self.num_heads, name="self_attn")(
-            x, x
-        )
-        x = x + nn.MultiHeadDotProductAttention(num_heads=self.num_heads, name="cross_attn")(
-            x, x
-        )
+        x = x + ChunkedMHA(num_heads=self.num_heads, name="self_attn")(x, x)
+        x = x + ChunkedMHA(num_heads=self.num_heads, name="cross_attn")(x, x)
         memory = nn.Dense(self.embed_dim, name="mem_out")(nn.tanh(x))
         logits = nn.Dense(2, name="prob_out")(nn.tanh(x))
         return logits, memory

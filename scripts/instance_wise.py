@@ -113,15 +113,14 @@ def run_l2a(name, g, budget):
 
     w = CurveWriter(OUT, name, "l2a")
     n = g.num_nodes
-    # The TrsCell policy materializes [num_sims, heads, N, N] attention
-    # scores — num_sims must shrink with N^2 to fit 16 GB of HBM; search
-    # width is preserved through num_repeats (the local-search fan-out).
+    # Attention scores are query-chunked (models/transformer.py:ChunkedMHA)
+    # so sims scale with N (qkv activations), not N^2 (score tensors).
     if n <= 1000:
         sims, reps, heads, embed = 256, 8, 4, 64
     elif n <= 2500:
-        sims, reps, heads, embed = 32, 16, 4, 64
+        sims, reps, heads, embed = 128, 8, 4, 64
     else:
-        sims, reps, heads, embed = 4, 16, 2, 32
+        sims, reps, heads, embed = 32, 8, 4, 32
     cfg = L2AConfig(
         num_sims=sims,
         num_repeats=reps,

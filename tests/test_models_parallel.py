@@ -94,3 +94,39 @@ def test_sharded_rollout_matches_single_device(small_graphs):
     np.testing.assert_allclose(np.asarray(vs_s), np.asarray(vs_u))
     np.testing.assert_array_equal(np.asarray(xs_s), np.asarray(xs_u))
     assert float(best_s[0]) == float(jnp.max(vs_u))
+
+
+def test_chunked_mha_exact_vs_full():
+    """Query-chunked attention is exact: a tiny score budget (forcing many
+    chunks) must reproduce the single-pass result bit-for-bit-ish."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from rlsolver_tpu.models.transformer import ChunkedMHA
+
+    key = jax.random.PRNGKey(0)
+    x = jax.random.normal(key, (3, 50, 32))
+    full = ChunkedMHA(num_heads=4, score_budget=1 << 30)
+    tiny = ChunkedMHA(num_heads=4, score_budget=4 * 3 * 4 * 7 * 50)  # qc=7
+    params = full.init(key, x, x)
+    np.testing.assert_allclose(
+        np.asarray(full.apply(params, x, x)),
+        np.asarray(tiny.apply(params, x, x)),
+        rtol=2e-5, atol=2e-5,
+    )
+
+
+def test_policy_trs_runs_with_chunked_attention():
+    import jax
+    import jax.numpy as jnp
+
+    from rlsolver_tpu.models.transformer import PolicyTrsWithValue
+
+    net = PolicyTrsWithValue(embed_dim=32, num_heads=4)
+    key = jax.random.PRNGKey(1)
+    xs = jax.random.bernoulli(key, 0.5, (4, 40))
+    seq = jax.random.normal(key, (40, 32))
+    params = net.init(key, jnp.zeros((1, 40, 2)), seq)
+    probs = net.apply(params, xs, seq, method=PolicyTrsWithValue.probs)
+    assert probs.shape == (4, 40) and bool(jnp.all((probs >= 0) & (probs <= 1)))
