@@ -72,7 +72,10 @@ class ChunkedMHA(nn.Module):
             pad = nc * qc - n
             qp = jnp.pad(q, ((0, 0), (0, pad), (0, 0), (0, 0)))
             qp = jnp.moveaxis(qp.reshape(b, nc, qc, h, dh), 1, 0)
-            out = jax.lax.map(attend, qp)  # [nc, B, qc, H, dh]
+            # checkpoint: without it autodiff stacks every chunk's [B, H,
+            # qc, N] scores as residuals — the full N^2 tensor again, just
+            # sliced — defeating the chunking under grad (L2A's PPO update)
+            out = jax.lax.map(jax.checkpoint(attend), qp)  # [nc, B, qc, H, dh]
             out = jnp.moveaxis(out, 0, 1).reshape(b, nc * qc, h, dh)[:, :n]
         return nn.DenseGeneral(d, axis=(-2, -1), name="out")(out)
 

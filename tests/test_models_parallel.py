@@ -130,3 +130,27 @@ def test_policy_trs_runs_with_chunked_attention():
     params = net.init(key, jnp.zeros((1, 40, 2)), seq)
     probs = net.apply(params, xs, seq, method=PolicyTrsWithValue.probs)
     assert probs.shape == (4, 40) and bool(jnp.all((probs >= 0) & (probs <= 1)))
+
+
+def test_chunked_mha_grad_exact_and_checkpointed():
+    """Gradients through the chunked path equal the single-pass gradients
+    (jax.checkpoint recomputes chunk scores instead of stacking residuals)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from rlsolver_tpu.models.transformer import ChunkedMHA
+
+    key = jax.random.PRNGKey(2)
+    x = jax.random.normal(key, (2, 40, 16))
+    full = ChunkedMHA(num_heads=2, score_budget=1 << 30)
+    tiny = ChunkedMHA(num_heads=2, score_budget=4 * 2 * 2 * 5 * 40)
+    params = full.init(key, x, x)
+
+    def loss(m, p):
+        return jnp.sum(m.apply(p, x, x) ** 2)
+
+    gf = jax.grad(lambda p: loss(full, p))(params)
+    gt = jax.grad(lambda p: loss(tiny, p))(params)
+    for a, b in zip(jax.tree.leaves(gf), jax.tree.leaves(gt)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-4)
