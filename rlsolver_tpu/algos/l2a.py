@@ -84,7 +84,9 @@ def pretrain_graph_encoder(
     opt_state = opt.init(params)
 
     @jax.jit
-    def step(params, opt_state, key):
+    def step(params, opt_state, key, adj):
+        # adj is a jit ARGUMENT (a closure constant would lower the [N, N]
+        # matrix into the IR as a literal — 400 MB at G70 scale)
         k_drop, k_flip = jax.random.split(key)
         # corrupt: drop 10% of edges at random, reconstruct the original
         keep = jax.random.bernoulli(k_drop, 0.9, adj.shape)
@@ -100,7 +102,7 @@ def pretrain_graph_encoder(
 
     for i in range(cfg.pretrain_steps):
         key, k = jax.random.split(key)
-        params, opt_state, loss = step(params, opt_state, k)
+        params, opt_state, loss = step(params, opt_state, k, adj)
     seq_graph = enc.embed(params, adj[None])[0]  # [N, D]
     return enc, params, jax.lax.stop_gradient(seq_graph)
 
@@ -118,8 +120,20 @@ def _build_l2a_steps(env: MaxcutEnv, net, seq_graph, cfg: L2AConfig, optimizer):
     loop (`solve_maxcut_l2a`) and the unified-runtime path
     (`solve_maxcut_l2a_runner`)."""
 
-    def rollout_step(key, params, best_xs, best_vs):
-        """One policy-guided improvement step; returns transition pieces."""
+    def rollout_step(key, params, best_xs, best_vs, adj=None):
+        """One policy-guided improvement step; returns transition pieces.
+
+        `adj` (the env's dense adjacency) is threaded as a jit ARGUMENT:
+        closed-over device arrays lower to dense IR literals, and the
+        [N, N] adjacency at G70 scale (200 MB) blows past the remote
+        compiler's request-size limit (HTTP 413). The remaining CutGraph
+        leaves are per-edge arrays (small) and stay closure constants."""
+        env_ = env
+        if adj is not None and env.cg.adj is not None:
+            import copy as _copy
+
+            env_ = _copy.copy(env)
+            env_.cg = env.cg._replace(adj=adj)
         k_noise, k_sample, k_ls = jax.random.split(key, 3)
         logits, _ = net.apply(params, solution_to_prob_channels(best_xs), seq_graph)
         probs = jax.nn.softmax(logits, axis=-1)[..., 0]
@@ -127,10 +141,10 @@ def _build_l2a_steps(env: MaxcutEnv, net, seq_graph, cfg: L2AConfig, optimizer):
             probs + jax.random.normal(k_noise, probs.shape) * cfg.prob_noise, 0.0, 1.0
         )
         full_xs = sub_set_sampling(k_sample, probs, best_xs, cfg.num_repeats, cfg.top_k)
-        full_vs = env.obj(full_xs)
+        full_vs = env_.obj(full_xs)
         for i in range(cfg.num_searchers):
             k_ls, k = jax.random.split(k_ls)
-            full_xs, full_vs = env.local_search(
+            full_xs, full_vs = env_.local_search(
                 k, full_xs, full_vs, num_iters=cfg.ls_iters, num_spin=cfg.ls_num_spin
             )
         good_xs, good_vs = pick_xs_by_vs(full_xs, full_vs, cfg.num_repeats)
@@ -259,7 +273,9 @@ def solve_maxcut_l2a(
         rewards, logprobs = [], []
         for t in range(cfg.seq_len):
             key, k = jax.random.split(key)
-            best_xs, best_vs, reward, logprob = rollout_jit(k, params, best_xs, best_vs)
+            best_xs, best_vs, reward, logprob = rollout_jit(
+                k, params, best_xs, best_vs, env.cg.adj
+            )
             states.append(best_xs)
             rewards.append(reward)
             logprobs.append(logprob)
