@@ -266,8 +266,9 @@ def evaluate_l2a_distribution(
         cand = sub_set_sampling(k_sample, probs, xs, cfg.num_repeats, cfg.top_k)
         cand = sweep_1flip_adj(cand, adj, cfg.ls_sweeps)
         cand_vs = _cut_value_adj(cand, adj)
-        vs_r = cand_vs.reshape(cfg.num_repeats, sims)
-        rows = jnp.argmax(vs_r, axis=0) * sims + jnp.arange(sims)
+        s = xs.shape[0]  # chunked eval may run fewer sims than cfg.num_sims
+        vs_r = cand_vs.reshape(cfg.num_repeats, s)
+        rows = jnp.argmax(vs_r, axis=0) * s + jnp.arange(s)
         xs, vs = update_xs_by_vs(xs, vs, cand[rows], cand_vs[rows])
         # perturb-and-sweep move (`env_L2A.py:92-107` local-search phase 1):
         # flip the num_spin highest noisy-gain bits, re-sweep, accept if better
