@@ -336,8 +336,11 @@ def solve_maxcut_l2a_runner(
 
         def roll(carry, k):
             xs, vs = carry
+            # adj rides as a jit argument (not a closure constant) so the
+            # runner path stays remote-compilable at G70 scale, matching
+            # solve_maxcut_l2a's rollout call.
             new_xs, new_vs, reward, logprob = rollout_step(
-                k, state.params, xs, vs
+                k, state.params, xs, vs, env.cg.adj
             )
             return (new_xs, new_vs), (new_xs, reward, logprob)
 

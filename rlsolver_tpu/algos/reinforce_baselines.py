@@ -45,6 +45,12 @@ class BaselineState(NamedTuple):
     critic_opt: Optional[tuple] = None
     frozen_params: Optional[dict] = None  # rollout baseline policy snapshot
     frozen_mean: jax.Array = jnp.float32(0.0)  # its eval-set mean reward
+    # WarmupBaseline keeps its own exponential EMA + ramp counter so the
+    # inner baseline's (ema, steps) are never touched twice per eval
+    # (reference WarmupBaseline holds a *separate* ExponentialBaseline
+    # instance, `baselines.py:92-136`).
+    warmup_ema: jax.Array = jnp.float32(0.0)
+    warmup_steps: jax.Array = jnp.int32(0)
 
 
 class _CriticNet(nn.Module):
@@ -131,7 +137,7 @@ class WarmupBaseline(Baseline):
 
     def __init__(self, inner: Baseline, n_steps: int = 100, beta: float = 0.8):
         self.inner = inner
-        self.exp = ExponentialBaseline(beta)
+        self.beta = beta
         self.n_steps = n_steps
 
     def init(self, key, model, params, sample_nodes):
@@ -139,8 +145,18 @@ class WarmupBaseline(Baseline):
 
     def eval(self, state, rewards, nodes):
         inner_v, state = self.inner.eval(state, rewards, nodes)
-        exp_v, state = self.exp.eval(state, rewards, nodes)
-        alpha = jnp.clip(state.steps.astype(jnp.float32) / self.n_steps, 0.0, 1.0)
+        m = jnp.mean(rewards)
+        exp_v = jnp.where(
+            state.warmup_steps == 0,
+            m,
+            self.beta * state.warmup_ema + (1.0 - self.beta) * m,
+        )
+        alpha = jnp.clip(
+            state.warmup_steps.astype(jnp.float32) / self.n_steps, 0.0, 1.0
+        )
+        state = state._replace(
+            warmup_ema=exp_v, warmup_steps=state.warmup_steps + 1
+        )
         return alpha * inner_v + (1.0 - alpha) * exp_v, state
 
     def epoch_update(self, state, model, params, key):

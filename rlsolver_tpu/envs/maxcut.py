@@ -83,13 +83,21 @@ class MaxcutEnv:
             except ValueError:
                 # general integer weights, or VMEM-exceeding N: bit-plane
                 # kernel with streamed mask chunks (weighted_sweep.py)
-                self._adj_planes = WeightedAdjPlanes.build(graph)
-                n_masks = len(self._adj_planes.planes_pos) * (
-                    2 if self._adj_planes.planes_neg else 1
-                )
-                self._sweep_chunk = pick_node_chunk(
-                    graph.num_nodes, self._adj_planes.wpad, n_masks, 512
-                )
+                try:
+                    planes = WeightedAdjPlanes.build(graph)
+                    n_masks = len(planes.planes_pos) * (
+                        2 if planes.planes_neg else 1
+                    )
+                    self._sweep_chunk = pick_node_chunk(
+                        graph.num_nodes, planes.wpad, n_masks, 512
+                    )
+                    self._adj_planes = planes
+                except ValueError:
+                    # no VMEM-feasible chunking for this (N, wpad) either:
+                    # leave both packed paths unset so sweep_1flip falls
+                    # through to the documented any-weight XLA sweep.
+                    self._adj_planes = None
+                    self._sweep_chunk = None
 
     # ------------------------------------------------------------------ state
     def random_xs(self, key: jax.Array, num_sims: int) -> jax.Array:

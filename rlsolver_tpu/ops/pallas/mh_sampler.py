@@ -153,14 +153,13 @@ def mh_sample_pallas(
 _CODEC_CHUNK = 1 << 16
 
 
-def _chunks_of(b: int) -> int:
-    """Largest divisor of b that is <= _CODEC_CHUNK (b itself when small)."""
-    if b <= _CODEC_CHUNK:
-        return b
-    for c in range(_CODEC_CHUNK, 0, -1):
-        if b % c == 0:
-            return c
-    return b
+def _pad_rows(x: jax.Array, chunk: int) -> jax.Array:
+    """Pad the leading axis up to a multiple of `chunk` (with zeros)."""
+    b = x.shape[0]
+    pad = (-b) % chunk
+    if pad:
+        x = jnp.pad(x, ((0, pad),) + ((0, 0),) * (x.ndim - 1))
+    return x
 
 
 def pack_bits(bits: jax.Array) -> jax.Array:
@@ -173,11 +172,14 @@ def pack_bits(bits: jax.Array) -> jax.Array:
         x = jnp.pad(x.astype(jnp.int32), ((0, 0), (0, w * 32 - n)))
         return jnp.sum(x.reshape(-1, w, 32) * weights, axis=-1, dtype=jnp.int32)
 
-    c = _chunks_of(b)
-    if c == b:
+    if b <= _CODEC_CHUNK:
         return one(bits)
-    out = jax.lax.map(one, bits.reshape(b // c, c, n))
-    return out.reshape(b, w)
+    # pad B to a chunk multiple (then slice) so the lax.map body is always
+    # a bounded [_CODEC_CHUNK, ...] block — never a per-row degenerate map
+    # when B has no divisor <= the chunk (e.g. prime B).
+    padded = _pad_rows(bits, _CODEC_CHUNK)
+    out = jax.lax.map(one, padded.reshape(-1, _CODEC_CHUNK, n))
+    return out.reshape(-1, w)[:b]
 
 
 def unpack_bits(words: jax.Array, n: int) -> jax.Array:
@@ -189,11 +191,11 @@ def unpack_bits(words: jax.Array, n: int) -> jax.Array:
         bits = jax.lax.shift_right_logical(ws[:, :, None], shifts[None, None, :]) & 1
         return bits.reshape(-1, w * 32)[:, :n].astype(bool)
 
-    c = _chunks_of(b)
-    if c == b:
+    if b <= _CODEC_CHUNK:
         return one(words)
-    out = jax.lax.map(one, words.reshape(b // c, c, w))
-    return out.reshape(b, n)
+    padded = _pad_rows(words, _CODEC_CHUNK)
+    out = jax.lax.map(one, padded.reshape(-1, _CODEC_CHUNK, w))
+    return out.reshape(-1, n)[:b]
 
 
 def _mh_packed_kernel(nodes_ref, acc_ref, bits_ref, out_ref, *, rounds_chunk):

@@ -379,13 +379,11 @@ def run_tsp(alg: str, path: str, seed: int) -> Tuple[float, float]:
     # re-validate: the tour is a permutation and its `obj_tsp` re-score
     # matches the solver's reported length (same discipline as
     # `_check_solution` for the graph problems)
-    assert sorted(np.asarray(tour).tolist()) == list(range(dist.shape[0])), (
-        f"{alg} returned a non-permutation tour on {path}"
-    )
+    if sorted(np.asarray(tour).tolist()) != list(range(dist.shape[0])):
+        raise RuntimeError(f"{alg} returned a non-permutation tour on {path}")
     check = -obj_tsp(tour, dist)
-    assert abs(check - length) < 1e-3 * max(1.0, abs(length)), (
-        f"solver/objective mismatch: {length} vs {check}"
-    )
+    if abs(check - length) > 1e-3 * max(1.0, abs(length)):
+        raise RuntimeError(f"solver/objective mismatch: {length} vs {check}")
     return length, duration
 
 

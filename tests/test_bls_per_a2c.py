@@ -29,6 +29,19 @@ def test_bls_beats_greedy():
     assert all(history[i + 1] >= history[i] - 1e-6 for i in range(len(history) - 1))
 
 
+def test_bls_reaches_proved_optimum_ba100():
+    # BA_100_ID0's optimum is 282 (MILP bound == primal in the committed
+    # distribution-wise table, results_quality/dist_table.csv) — the tabu
+    # engine must reach it within a small budget.
+    g = graph_from_name("BA_100_ID0")
+    bits, cut, _ = solve_maxcut_bls(
+        g, BLSConfig(num_chains=128, num_rounds=10, steps_per_round=512,
+                     seed=3)
+    )
+    assert cut == obj_maxcut(bits.astype(int), g)
+    assert cut >= 282.0
+
+
 def test_per_sampling_prefers_high_priority():
     example = (jnp.zeros(3), jnp.float32(0))
     buf = PrioritizedReplay.create(example, capacity=32)

@@ -50,6 +50,21 @@ def test_pack_unpack_roundtrip():
         np.testing.assert_array_equal(np.asarray(unpack_bits(words, n)), np.asarray(bits))
 
 
+def test_pack_unpack_chunked_nondivisor_batch(monkeypatch):
+    # Batch sizes with no divisor <= the codec chunk (e.g. prime B just
+    # above it) must pad to a chunk multiple, not degrade to per-row maps.
+    from rlsolver_tpu.ops.pallas import mh_sampler as mh
+
+    monkeypatch.setattr(mh, "_CODEC_CHUNK", 8)
+    for b in (11, 13, 17):  # primes > chunk
+        bits = jax.random.bernoulli(jax.random.PRNGKey(b), 0.5, (b, 70))
+        words = mh.pack_bits(bits)
+        assert words.shape == (b, 3)
+        np.testing.assert_array_equal(
+            np.asarray(mh.unpack_bits(words, 70)), np.asarray(bits)
+        )
+
+
 def test_packed_bit_exact_vs_xla_twin():
     key = jax.random.PRNGKey(11)
     # N spanning multiple words, including the bitpos=31 sign-bit edge

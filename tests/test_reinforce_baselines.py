@@ -51,6 +51,25 @@ def test_registry_and_warmup():
         get_reinforce_baseline("nope")
 
 
+def test_warmup_keeps_inner_state_separate():
+    # The warmup's own exponential EMA must not entangle with the inner
+    # baseline's (ema, steps): after rewards [1, 2] the warmup EMA is
+    # 0.8*1 + 0.2*2 = 1.2 (not double-updated), its ramp counter advances
+    # once per eval, and the inner exponential EMA sees exactly the same.
+    wb = WarmupBaseline(ExponentialBaseline(beta=0.8), n_steps=4, beta=0.8)
+    state = wb.init(jax.random.PRNGKey(0), None, None, None)
+    _, state = wb.eval(state, jnp.full((4,), 1.0), None)
+    _, state = wb.eval(state, jnp.full((4,), 2.0), None)
+    assert abs(float(state.warmup_ema) - 1.2) < 1e-6
+    assert int(state.warmup_steps) == 2
+    assert abs(float(state.ema) - 1.2) < 1e-6  # inner updated once per eval
+    assert int(state.steps) == 2
+    # blended value at the third eval: alpha = 2/4
+    v, state = wb.eval(state, jnp.full((4,), 3.0), None)
+    expect = 0.8 * 1.2 + 0.2 * 3.0  # both EMAs agree here (same beta)
+    np.testing.assert_allclose(np.asarray(v), expect, rtol=1e-6)
+
+
 def test_t_test_survival_function():
     assert abs(_t_sf(0.0, 10) - 0.5) < 1e-6
     # one-sided p for t=3.0, df=30 is ~0.0027 (tables)
