@@ -401,7 +401,7 @@ def mh_sample_stream(
 
 
 def _mh_fused_kernel(
-    seed_ref, thr_ref, bits_ref, out_ref, *, rounds_chunk, num_nodes
+    seed_ref, thr_ref, bits_ref, out_ref, *, rounds_chunk, num_nodes, num_words
 ):
     """In-kernel PRNG variant: no randomness streamed from HBM at all.
 
@@ -411,6 +411,17 @@ def _mh_fused_kernel(
     (node, u16) exactly like `make_proposal_stream`, fetch the two
     conditional thresholds with one [BLK, WPAD] @ [WPAD, 64] MXU dot, and
     apply the packed-bit flip.
+
+    Two node derivations (both int32-safe — Mosaic has no int64/uint mul):
+      num_nodes < 2^15: node = (hi16 * n) >> 16 from ONE draw per round,
+        then (word, bitpos) = (node >> 5, node & 31).
+      num_nodes >= 2^15 ("wide"): hi16 * n overflows int32, so pick the
+        WORD uniformly — word = (hi16 * num_words) >> 16 (needs num_words
+        < 2^15, i.e. n < 2^20) — and bitpos = rnd & 31 from independent
+        low bits; u16 comes from a SECOND draw. Proposals landing on the
+        last word's padding bits are dead (their thresholds are 0/never
+        -accept and the bits start 0), costing < pad/32w of proposal
+        efficiency; real nodes stay exactly uniform.
     """
     i_blk = pl.program_id(0)
     r_step = pl.program_id(1)
@@ -426,18 +437,25 @@ def _mh_fused_kernel(
     lane = jax.lax.broadcasted_iota(jnp.int32, words0.shape, 1)
     pos32 = jax.lax.broadcasted_iota(jnp.int32, (blk, 32), 1)
     thr = thr_ref[:]  # [WPAD, 64] f32
+    wide = num_nodes >= 1 << 15
 
     def body(_, words):
-        # int32 throughout — Mosaic has no uint32->f32 cast; hi * n fits
-        # int32 because num_nodes < 2^15 is enforced by the wrapper
         rnd = jax.lax.bitcast_convert_type(
             pltpu.prng_random_bits((blk, 1)), jnp.int32
         )  # [BLK, 1]
         hi = jax.lax.shift_right_logical(rnd, 16)
-        node = jax.lax.shift_right_logical(hi * num_nodes, 16)
-        u16 = (rnd & 0xFFFF).astype(jnp.float32)  # [BLK, 1]
-        word_i = jax.lax.shift_right_logical(node, 5)  # [BLK, 1]
-        bitpos = node & 31
+        if wide:
+            word_i = jax.lax.shift_right_logical(hi * num_words, 16)
+            bitpos = rnd & 31
+            rnd2 = jax.lax.bitcast_convert_type(
+                pltpu.prng_random_bits((blk, 1)), jnp.int32
+            )
+            u16 = (rnd2 & 0xFFFF).astype(jnp.float32)  # [BLK, 1]
+        else:
+            node = jax.lax.shift_right_logical(hi * num_nodes, 16)
+            u16 = (rnd & 0xFFFF).astype(jnp.float32)  # [BLK, 1]
+            word_i = jax.lax.shift_right_logical(node, 5)  # [BLK, 1]
+            bitpos = node & 31
         hot = (lane == word_i).astype(jnp.float32)  # [BLK, WPAD]
         th2 = jax.lax.dot_general(
             hot, thr, (((1,), (0,)), ((), ())),
@@ -482,8 +500,8 @@ def mh_sample_fused(
     b, n = bits.shape
     if b % block_chains != 0:
         raise ValueError(f"chains {b} not a multiple of block {block_chains}")
-    if n >= 1 << 15:
-        raise ValueError(f"fused sampler requires num_nodes < 32768, got {n}")
+    if n >= 1 << 20:
+        raise ValueError(f"fused sampler requires num_nodes < 2^20, got {n}")
     # chunking only affects PRNG re-seed points; snap to a divisor so any
     # round count works
     rounds_chunk = min(rounds_chunk, num_rounds)
@@ -505,7 +523,7 @@ def mh_sample_fused(
 
     out = pl.pallas_call(
         functools.partial(
-            _mh_fused_kernel, rounds_chunk=rounds_chunk, num_nodes=n
+            _mh_fused_kernel, rounds_chunk=rounds_chunk, num_nodes=n, num_words=w
         ),
         out_shape=jax.ShapeDtypeStruct((b, wpad), jnp.int32),
         grid=(b // block_chains, num_rounds // rounds_chunk),

@@ -158,3 +158,48 @@ def test_weighted_sweep_kernels_on_chip():
                                       block_chains=b)
     v_f = np.asarray(env.obj(fused))
     assert v_f.mean() > np.asarray(vs).mean()
+
+
+def test_mh_fused_wide_node_path_at_40k_nodes():
+    """N > 32768 takes the wide (word, bitpos)-split node derivation
+    (`mh_sampler.py:_mh_fused_kernel` wide branch). Addressing check: with
+    probs = 1 every proposal to a real 0-bit flips it up and never down, so
+    after ~100 expected hits per node the per-node OR over chains must be
+    all-ones (every one of the 40000 nodes is reachable), and per-node hit
+    frequencies are uniform; probs = 0 is the mirror image."""
+    from rlsolver_tpu.ops.pallas.mh_sampler import mh_sample_fused
+
+    n, chains, rounds = 40000, 1024, 4096
+    ones = jnp.ones((n,), jnp.float32)
+    zeros_bits = jnp.zeros((chains, n), bool)
+    out = mh_sample_fused(jnp.int32(5), ones, zeros_bits, rounds,
+                          block_chains=512)
+    hit = np.asarray(out)
+    # every node proposed by >= 1 of the 4.2M proposals (P(miss) ~ e^-100)
+    assert hit.any(axis=0).all()
+    freq = hit.mean(axis=0)  # per-node coverage, uniform across nodes
+    assert abs(freq.mean() - freq[: n // 2].mean()) < 0.02
+    assert freq.min() > 0.0
+
+    out0 = mh_sample_fused(
+        jnp.int32(6), 1.0 - ones, ~zeros_bits, rounds, block_chains=512
+    )
+    assert not np.asarray(out0).all(axis=0).any()
+
+
+def test_mh_stream_bit_exact_vs_xla_twin_at_40k_nodes():
+    """Injected-randomness packed sampler at N = 40000 on the chip is
+    bit-exact vs the XLA scan twin (the CI contract, now held above the old
+    32768-node fused cap)."""
+    from rlsolver_tpu.ops.pallas.mh_sampler import (
+        mh_reference_stream,
+        mh_sample_stream,
+    )
+
+    n, chains, rounds = 40000, 256, 128
+    key = jax.random.PRNGKey(9)
+    probs = jax.random.uniform(key, (n,), minval=0.1, maxval=0.9)
+    bits = jax.random.bernoulli(jax.random.fold_in(key, 1), 0.5, (chains, n))
+    out = mh_sample_stream(key, probs, bits, rounds, block_chains=256)
+    ref = mh_reference_stream(key, probs, bits, rounds)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
