@@ -114,11 +114,19 @@ class RolloutBatch(NamedTuple):
     logprobs: jax.Array  # f32 [T, B]
 
 
-def _build_l2a_steps(env: MaxcutEnv, net, seq_graph, cfg: L2AConfig, optimizer):
+def _build_l2a_steps(
+    env: MaxcutEnv, net, seq_graph, cfg: L2AConfig, optimizer, axis_name=None
+):
     """Shared jittable pieces of the dREINFORCE loop: one policy-guided
     improvement step and the PPO+GAE update. Used by both the classic host
     loop (`solve_maxcut_l2a`) and the unified-runtime path
-    (`solve_maxcut_l2a_runner`)."""
+    (`solve_maxcut_l2a_runner`).
+
+    `axis_name`: when set, the functions are meant to run inside a
+    `shard_map` with the sim axis sharded on that mesh axis — minibatch
+    gradients are `pmean`'d across shards before the optimizer update
+    (data-parallel dREINFORCE, the S2V_PPO DDP pattern,
+    ref `train_ddp.py:16-258`); advantage normalization stays per-shard."""
 
     def rollout_step(key, params, best_xs, best_vs, adj=None):
         """One policy-guided improvement step; returns transition pieces.
@@ -157,7 +165,7 @@ def _build_l2a_steps(env: MaxcutEnv, net, seq_graph, cfg: L2AConfig, optimizer):
 
     def ppo_update(key, params, opt_state, batch: RolloutBatch):
         states, rewards, logprobs = batch
-        seq_len = rewards.shape[0]
+        seq_len, num_sims = rewards.shape  # num_sims is per-shard under shard_map
 
         # values for GAE (no grad)
         def value_of(xs):
@@ -184,7 +192,7 @@ def _build_l2a_steps(env: MaxcutEnv, net, seq_graph, cfg: L2AConfig, optimizer):
 
         def minibatch(carry, k):
             params, opt_state = carry
-            ids = jax.random.randint(k, (cfg.num_sims,), 0, seq_len * cfg.num_sims)
+            ids = jax.random.randint(k, (num_sims,), 0, seq_len * num_sims)
             t_ids = ids % seq_len
             b_ids = ids // seq_len
             curr_xs = states[t_ids, b_ids]
@@ -217,6 +225,8 @@ def _build_l2a_steps(env: MaxcutEnv, net, seq_graph, cfg: L2AConfig, optimizer):
                 return obj_critic - obj_policy
 
             loss, grads = jax.value_and_grad(loss_fn)(params)
+            if axis_name is not None:
+                grads = jax.lax.pmean(grads, axis_name)
             updates, opt_state = optimizer.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
             return (params, opt_state), loss
