@@ -16,9 +16,12 @@ TPU-first redesign: baselines are pure functions over explicit pytree
 state — `eval(state, rewards) -> (values, state)` runs inside the jitted
 train step; `epoch_update(state, params, key)` is the host-side epoch
 callback (the rollout baseline's t-test + snapshot swap). The generic
-`train_reinforce` drives the AM/POMO attention policy
-(`models/attention_tsp.py`) over random TSP batches with any baseline;
-rewards are negative tour lengths.
+`train_reinforce` drives any constructive policy through a small adapter
+protocol (sample_instances / init_params / rollout): `TSPAdapter` is the
+AM/POMO attention policy (`models/attention_tsp.py`, rewards = negative
+tour lengths), `S2VMaxcutAdapter` is the constructive S2V maxcut policy
+(`models/s2v_policy.py`, rewards = cut values) — the reference's S2V model
+zoo trained through the same baseline family.
 """
 
 from __future__ import annotations
@@ -207,16 +210,26 @@ class RolloutBaseline(Baseline):
     """Greedy rollout of a frozen policy snapshot (`baselines.py:161-243`):
     eval = frozen policy's greedy reward on the same instances; the epoch
     callback re-evaluates the candidate on a fixed eval set and adopts it
-    when the improvement passes a one-sided t-test at `bl_alpha`."""
+    when the improvement passes a one-sided t-test at `bl_alpha`.
+
+    `model` may be an AttentionTSP module (legacy TSP path) or any
+    PolicyAdapter (anything with a `.rollout(params, key, instances,
+    greedy=)` returning (xs, logp, rewards)) — the zoo is policy-generic,
+    matching rl4co's env-agnostic RolloutBaseline."""
 
     name = "rollout"
 
-    def __init__(self, model: AttentionTSP, eval_nodes, bl_alpha: float = 0.05):
+    def __init__(self, model, eval_nodes, bl_alpha: float = 0.05):
         self.model = model
-        self.eval_nodes = eval_nodes  # [E, N, 2] held-out instances
+        self.eval_nodes = eval_nodes  # held-out instances, [E, ...]
         self.bl_alpha = bl_alpha
 
     def _greedy_rewards(self, params, nodes, pomo=1):
+        if hasattr(self.model, "rollout"):  # PolicyAdapter
+            _, _, rewards = self.model.rollout(
+                params, jax.random.PRNGKey(0), nodes, greedy=True
+            )
+            return rewards[:, 0] if rewards.ndim == 2 else rewards
         _, _, lengths = rollout_pomo(
             self.model, params, jax.random.PRNGKey(0), nodes, pomo_size=pomo,
             greedy=True,
@@ -328,65 +341,151 @@ class ReinforceConfig:
     num_steps: int = 100
     epoch_every: int = 20  # host epoch callback cadence (rollout t-test)
     lr: float = 1e-4
+    ent_coef: float = 0.0  # entropy bonus (keeps constructive policies off
+    # the zero-gradient one-hot boundary; 0 = reference rl4co behavior)
     seed: int = 0
+
+
+class TSPAdapter:
+    """AM attention policy over random euclidean TSP batches — the rl4co
+    AttentionModel through the zoo; rewards are negative tour lengths."""
+
+    def __init__(self, cfg: ReinforceConfig, instance_sampler=None):
+        self.cfg = cfg
+        self.model = AttentionTSP(cfg.embed_dim, cfg.num_heads, cfg.num_layers)
+        self._sampler = instance_sampler
+
+    def sample_instances(self, k):
+        if self._sampler is not None:
+            return self._sampler(k)
+        return jax.random.uniform(k, (self.cfg.batch_size, self.cfg.num_cities, 2))
+
+    def init_params(self, key, nodes0):
+        dummy = jnp.zeros((1, 1), jnp.int32)
+        mask = jnp.ones((1, 1, nodes0.shape[1]), bool)
+        return self.model.init(key, nodes0[:1], dummy, dummy, mask, None)
+
+    def rollout(self, params, key, nodes, greedy=False):
+        tours, logp, lengths = rollout_pomo(
+            self.model, params, key, nodes,
+            pomo_size=1 if greedy else self.cfg.pomo_size, greedy=greedy,
+        )
+        return tours, logp, -lengths  # rewards [B, P]
+
+
+class S2VMaxcutAdapter:
+    """Constructive S2V maxcut policy through the zoo (the reference's
+    `ECO_S2V/rl4co/models/zoo/S2V/` path): instances are batched dense
+    adjacencies of a seeded graph distribution, the policy constructs a
+    cut node-by-node (`models/s2v_policy.py`), rewards are cut values."""
+
+    def __init__(
+        self,
+        cfg: ReinforceConfig,
+        num_nodes: int = 64,
+        graph_type=None,
+        horizon: Optional[int] = None,
+        pool_size: int = 64,
+    ):
+        from rlsolver_tpu.config import GraphType
+        from rlsolver_tpu.models.s2v_policy import S2VConstructivePolicy
+
+        self.cfg = cfg
+        self.num_nodes = num_nodes
+        self.graph_type = graph_type or GraphType.BA
+        self.horizon = horizon or num_nodes // 2
+        self.pool_size = pool_size
+        self.model = S2VConstructivePolicy(cfg.embed_dim, cfg.num_layers)
+        self._adj_pool: Optional[jax.Array] = None
+
+    def _pool(self) -> jax.Array:
+        """Seeded instance pool (generators are host-side networkx code, so
+        sampling inside jit is impossible — pre-build and gather)."""
+        if self._adj_pool is None:
+            from rlsolver_tpu.core.generate import generate_graph
+
+            adjs = [
+                generate_graph(self.graph_type, self.num_nodes, seed=s)
+                .adjacency_dense()
+                for s in range(self.pool_size)
+            ]
+            self._adj_pool = jnp.asarray(np.stack(adjs))
+        return self._adj_pool
+
+    def sample_instances(self, k):
+        ids = jax.random.randint(k, (self.cfg.batch_size,), 0, self.pool_size)
+        return self._pool()[ids]
+
+    def init_params(self, key, adj0):
+        return self.model.init(key, adj0[:1])
+
+    def rollout(self, params, key, adj, greedy=False):
+        from rlsolver_tpu.models.s2v_policy import rollout_s2v_maxcut
+
+        return rollout_s2v_maxcut(
+            self.model, params, key, adj, horizon=self.horizon, greedy=greedy
+        )  # (xs, logp [B], rewards [B])
 
 
 def train_reinforce(
     baseline: Baseline,
     cfg: ReinforceConfig = ReinforceConfig(),
     instance_sampler: Optional[Callable[[jax.Array], jax.Array]] = None,
+    adapter=None,
+    optimizer=None,
 ):
-    """Generic REINFORCE-with-baseline on the AM policy over random TSP
-    batches (rl4co `REINFORCE.shared_step` semantics). Returns
-    (params, history dict with mean tour lengths)."""
-    model = AttentionTSP(cfg.embed_dim, cfg.num_heads, cfg.num_layers)
-    optimizer = optax.chain(optax.clip_by_global_norm(1.0), optax.adam(cfg.lr))
+    """Generic REINFORCE-with-baseline on any constructive policy adapter
+    (rl4co `REINFORCE.shared_step` semantics). Default adapter is the
+    AM/TSP policy; pass `S2VMaxcutAdapter` for the constructive maxcut
+    policy. Returns (params, history with mean rewards; `mean_length`
+    = -reward kept as the TSP-era alias)."""
+    adapter = adapter or TSPAdapter(cfg, instance_sampler)
+    if optimizer is None:
+        optimizer = optax.chain(
+            optax.clip_by_global_norm(1.0), optax.adam(cfg.lr)
+        )
     key = jax.random.PRNGKey(cfg.seed)
     key, k_init, k_bl = jax.random.split(key, 3)
 
-    def sample_nodes(k):
-        if instance_sampler is not None:
-            return instance_sampler(k)
-        return jax.random.uniform(k, (cfg.batch_size, cfg.num_cities, 2))
-
-    nodes0 = sample_nodes(k_init)
-    dummy = jnp.zeros((1, 1), jnp.int32)
-    mask = jnp.ones((1, 1, cfg.num_cities), bool)
-    params = model.init(k_init, nodes0[:1], dummy, dummy, mask, None)
+    nodes0 = adapter.sample_instances(k_init)
+    params = adapter.init_params(k_init, nodes0)
     opt_state = optimizer.init(params)
-    bl_state = baseline.init(k_bl, model, params, nodes0)
+    bl_state = baseline.init(k_bl, adapter.model, params, nodes0)
     is_critic = isinstance(baseline, CriticBaseline)
 
     @jax.jit
     def step(params, opt_state, bl_state, k):
         k_data, k_roll = jax.random.split(k)
-        nodes = sample_nodes(k_data)
+        nodes = adapter.sample_instances(k_data)
 
         def loss_fn(p):
-            _, logp, lengths = rollout_pomo(
-                model, p, k_roll, nodes, pomo_size=cfg.pomo_size
-            )
-            rewards = -lengths  # [B, P]
+            _, logp, rewards = adapter.rollout(p, k_roll, nodes)
             bl, new_state = baseline.eval(bl_state, rewards, nodes)
             advantage = jax.lax.stop_gradient(rewards - bl)
             loss = -jnp.mean(advantage * logp)
-            return loss, (new_state, rewards, jnp.mean(lengths))
+            if cfg.ent_coef:
+                # -logp is an unbiased per-trajectory entropy estimate
+                loss = loss - cfg.ent_coef * jnp.mean(-logp)
+            return loss, (new_state, rewards, jnp.mean(rewards))
 
-        (loss, (new_state, rewards, mean_len)), grads = jax.value_and_grad(
+        (loss, (new_state, rewards, mean_r)), grads = jax.value_and_grad(
             loss_fn, has_aux=True
         )(params)
         upd, opt_state = optimizer.update(grads, opt_state)
         params = optax.apply_updates(params, upd)
         if is_critic:
             new_state = baseline.update_critic(new_state, rewards, nodes)
-        return params, opt_state, new_state, mean_len
+        return params, opt_state, new_state, mean_r
 
-    history = {"mean_length": []}
+    history = {"mean_length": [], "mean_reward": []}
     for i in range(cfg.num_steps):
         key, k = jax.random.split(key)
-        params, opt_state, bl_state, mean_len = step(params, opt_state, bl_state, k)
-        history["mean_length"].append(float(mean_len))
+        params, opt_state, bl_state, mean_r = step(params, opt_state, bl_state, k)
+        history["mean_reward"].append(float(mean_r))
+        history["mean_length"].append(-float(mean_r))
         if cfg.epoch_every and (i + 1) % cfg.epoch_every == 0:
             key, k_ep = jax.random.split(key)
-            bl_state = baseline.epoch_update(bl_state, model, params, k_ep)
+            bl_state = baseline.epoch_update(
+                bl_state, adapter.model, params, k_ep
+            )
     return params, history
