@@ -35,6 +35,113 @@ def build_g22_like():
     return Graph.from_edge_list(2000, [(a, b, 1.0) for a, b in g.edges], name="G22like")
 
 
+def pattern1_peco(num_envs=2048, n=200, block_len=32, num_blocks=8):
+    """Pattern-I datum (VERDICT r2 item 7): the PECO hot loop — batched
+    SpinSystemEnv step + MPNN Q forward + eps-greedy acting
+    (`ECO_S2V/src/envs/spinsystem_PECO.py:306-400`) — plus a double-DQN
+    train-step/s, and a single-env numpy twin for the reference's
+    "GPU parallel envs >= 100x CPU envs" claim (`README.md:36-45`).
+
+    Returns (env_steps_per_sec, cpu_single_env_steps_per_sec,
+    dqn_train_steps_per_sec)."""
+    from rlsolver_tpu.core.generate import graph_from_name
+    from rlsolver_tpu.envs.spin_system import (
+        SpinSystemConfig,
+        SpinSystemEnv,
+    )
+    from rlsolver_tpu.models.mpnn import MPNN
+
+    graph = graph_from_name(f"BA_{n}_ID0")
+    env = SpinSystemEnv(
+        n, SpinSystemConfig(num_envs=num_envs, basin_reward=1.0 / n)
+    )
+    pe = env.params_from_graph(graph)
+    model = MPNN(features=64, n_layers=3)
+    key = jax.random.PRNGKey(0)
+    state, obs = jax.jit(env.reset)(pe, key)
+    params = model.init(key, obs, pe.adj)
+
+    @jax.jit
+    def block(params, state, obs, key):
+        def one(carry, k):
+            state, obs = carry
+            q = model.apply(params, obs, pe.adj)  # [B, N]
+            greedy = jnp.argmax(q, axis=-1)
+            k1, k2 = jax.random.split(k)
+            rand_a = jax.random.randint(k1, greedy.shape, 0, n)
+            explore = jax.random.uniform(k2, greedy.shape) < 0.05
+            action = jnp.where(explore, rand_a, greedy)
+            state, obs, rew, done = env.step(pe, state, action)
+            return (state, obs), jnp.mean(rew)
+        (state, obs), rews = jax.lax.scan(
+            one, (state, obs), jax.random.split(key, block_len)
+        )
+        return state, obs, rews.mean()
+
+    state, obs, r = block(params, state, obs, key)  # compile
+    r.block_until_ready()
+    t0 = time.time()
+    for i in range(num_blocks):
+        state, obs, r = block(params, state, obs, jax.random.fold_in(key, i))
+    float(r)
+    steps_per_sec = num_blocks * block_len * num_envs / (time.time() - t0)
+
+    # single-env CPU twin: numpy loop with the exact matmul shapes of one
+    # env's MPNN forward (init/edge embeds + 3 message rounds + readout)
+    # and the env's rank-1 gain update — the CPU-envs side of the
+    # reference's sampling-speed figure (random weights; this measures
+    # throughput, not values).
+    adj_np = np.asarray(pe.adj, np.float32)
+    f = 64
+    rng = np.random.default_rng(0)
+    w_in = rng.standard_normal((obs.shape[-1], f), np.float32)
+    w_msg = [rng.standard_normal((2 * f, f), np.float32) for _ in range(3)]
+    w_upd = [rng.standard_normal((2 * f, f), np.float32) for _ in range(3)]
+    w_out = rng.standard_normal((f, 1), np.float32)
+    spins = np.ones(n, np.float32)
+    gains = np.asarray(state.gains[0])
+    obs1 = np.array(obs[0])  # writable copy
+    t0 = time.time()
+    cpu_steps = 30
+    for i in range(cpu_steps):
+        h = np.maximum(obs1 @ w_in, 0.0)
+        e = h  # edge-context stand-in, same shape/cost class
+        for li in range(3):
+            m = np.maximum(
+                np.concatenate([adj_np @ h, e], axis=-1) @ w_msg[li], 0.0
+            )
+            h = np.maximum(np.concatenate([h, m], axis=-1) @ w_upd[li], 0.0)
+        q = (h @ w_out)[:, 0]
+        a = int(np.argmax(q))
+        gains = gains - 2.0 * (spins[a] * spins) * adj_np[a]
+        spins[a] *= -1.0
+        obs1[:, 1] = gains / float(pe.max_local_reward)  # refresh gain channel
+    cpu_steps_per_sec = cpu_steps / (time.time() - t0)
+
+    # DQN train-step/s (double-DQN update, reference batch size 64)
+    from rlsolver_tpu.algos.dqn import DQNAgent, DQNConfig
+
+    agent = DQNAgent(env, DQNConfig(batch_size=64))
+    qp = agent.init_params(key, pe)
+    opt_state = agent.optimizer.init(qp)
+    bsz = 64
+    batch = (
+        obs[:bsz],
+        np.zeros(bsz, np.int32),
+        np.zeros(bsz, np.float32),
+        obs[:bsz],
+        np.zeros(bsz, bool),
+    )
+    qp2, opt2, loss = agent._train_step(qp, qp, opt_state, batch, pe.adj)
+    loss.block_until_ready()
+    t0 = time.time()
+    for _ in range(50):
+        qp2, opt2, loss = agent._train_step(qp2, qp, opt2, batch, pe.adj)
+    float(loss)
+    train_steps_per_sec = 50 / (time.time() - t0)
+    return steps_per_sec, cpu_steps_per_sec, train_steps_per_sec
+
+
 def main():
     from rlsolver_tpu.envs.maxcut import MaxcutEnv
     from rlsolver_tpu.ops.pallas.mcpg_sweep import PackedSweepTables, mcpg_sweep_fused
@@ -108,6 +215,8 @@ def main():
     full_elapsed = time.time() - t0
     full_steps_per_sec = full_calls * proposal_rounds * num_envs / full_elapsed
 
+    p1_steps, p1_cpu, dqn_steps = pattern1_peco()
+
     print(
         json.dumps(
             {
@@ -121,6 +230,15 @@ def main():
                     "sweeps + objective + elitist reduce per jit call"
                 ),
                 "best_cut_after_bench": float(jnp.max(best_vs)),
+                # Pattern-I (PECO hot loop): 2048 SpinSystemEnvs on BA_200,
+                # MPNN Q forward + eps-greedy + env.step per env-step.
+                # Reference claim: GPU parallel envs >= ~100x CPU envs
+                # (README.md:36-45); vs_cpu_256core assumes a 256-core CPU
+                # running one env per core at the measured single-env rate.
+                "pattern1_env_steps_per_sec": round(p1_steps, 1),
+                "pattern1_cpu_single_env_steps_per_sec": round(p1_cpu, 1),
+                "pattern1_vs_cpu_256core": round(p1_steps / (256 * p1_cpu), 2),
+                "dqn_train_steps_per_sec": round(dqn_steps, 1),
             }
         )
     )
