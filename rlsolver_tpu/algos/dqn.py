@@ -255,24 +255,12 @@ class DQNAgent:
         return params, history
 
     # -------------------------------------------------- unified-runtime path
-    def train_runner(
-        self,
-        graph: Graph,
-        num_steps: int,
-        run_dir: str = "runs/dqn",
-        checkpoint_every: int = 0,
-        resume: bool = False,
-        log_every: int = 50,
-    ):
-        """Single-graph DQN through `train/runner.py:TrainLoop`: the whole
-        act/step/replay/train/target-sync/episode-reset cycle is ONE jitted
-        step over a resumable state pytree (params, target, opt state,
-        replay buffer, env state, PRNG key, counters) — checkpoint/resume +
-        metrics.jsonl + stop sentinel on the Pattern-I trainer (reference
-        runtime capabilities: `AgentBase.py:280-299`, `run.py:130`).
-        Returns (params, final_state)."""
-        from rlsolver_tpu.train.runner import LoopConfig, TrainLoop
-
+    def _build_loop_step(self, graph: Graph):
+        """The whole act/step/replay/train/target-sync/episode-reset cycle
+        as ONE jittable `step_fn(state) -> (state, metrics)` over a
+        resumable state pytree, plus its initial state. Shared by
+        `train_runner` (TrainLoop host loop) and `train_scan` (scan-chunked
+        tunnel-friendly trainer)."""
         cfg = self.cfg
         env = self.env
         params_env = env.params_from_graph(graph)
@@ -372,6 +360,24 @@ class DQNAgent:
             train_steps=jnp.int32(0),
             best_cut=jnp.float32(-jnp.inf),
         )
+        return step_fn, state
+
+    def train_runner(
+        self,
+        graph: Graph,
+        num_steps: int,
+        run_dir: str = "runs/dqn",
+        checkpoint_every: int = 0,
+        resume: bool = False,
+        log_every: int = 50,
+    ):
+        """Single-graph DQN through `train/runner.py:TrainLoop` —
+        checkpoint/resume + metrics.jsonl + stop sentinel on the Pattern-I
+        trainer (reference runtime capabilities: `AgentBase.py:280-299`,
+        `run.py:130`). Returns (params, final_state)."""
+        from rlsolver_tpu.train.runner import LoopConfig, TrainLoop
+
+        step_fn, state = self._build_loop_step(graph)
         loop = TrainLoop(
             LoopConfig(
                 run_dir=run_dir,
@@ -379,12 +385,36 @@ class DQNAgent:
                 log_every=log_every,
                 checkpoint_every=checkpoint_every,
                 resume=resume,
-                samples_per_step=env.config.num_envs,
+                samples_per_step=self.env.config.num_envs,
             ),
             step_fn,
         )
         state = loop.run(state)
         return state.params, state
+
+    def train_scan(self, graph: Graph, num_steps: int, scan_chunk: int = 256):
+        """Tunnel-friendly trainer: `scan_chunk` loop steps fused into one
+        jitted `lax.scan` program, so a full training run is
+        num_steps/scan_chunk remote dispatches instead of num_steps (the
+        per-step host loop is latency-bound through the remote-TPU tunnel).
+        Semantically identical to `train_runner` without the runtime edges.
+        Returns (params, best_cut, final_state)."""
+        step_fn, state = self._build_loop_step(graph)
+
+        @jax.jit
+        def chunk(state):
+            def body(s, _):
+                s, m = step_fn(s)
+                return s, m["best_cut"]
+
+            state, best = jax.lax.scan(body, state, None, length=scan_chunk)
+            return state, best[-1]
+
+        best_cut = -np.inf
+        for _ in range(max(1, num_steps // scan_chunk)):
+            state, best = chunk(state)
+        best_cut = float(best)
+        return state.params, best_cut, state
 
     # ------------------------------------------------------------- inference
     def evaluate(
@@ -418,3 +448,45 @@ class DQNAgent:
                 state, obs, _, done = self._env_step(params_env, state, actions)
             best = max(best, float(jnp.max(state.best_score)))
         return best
+
+    def evaluate_scan(
+        self,
+        params,
+        graph: Graph,
+        key: Optional[jax.Array] = None,
+        num_restarts: int = 1,
+    ) -> float:
+        """`evaluate`, but the whole greedy rollout is one jitted
+        `lax.scan` over max_steps — one remote dispatch per restart instead
+        of max_steps of them (per-step host loops are latency-bound through
+        the remote-TPU tunnel). `params_env` rides as a jit argument, so
+        same-shape graphs share the compiled program."""
+        env = self.env
+        key = key if key is not None else jax.random.PRNGKey(0)
+
+        if not hasattr(self, "_eval_rollout"):
+
+            def rollout(params, params_env, k):
+                state, obs = env.reset(params_env, k)
+
+                def body(carry, _):
+                    state, obs = carry
+                    mask = env.allowed_action_mask(state)
+                    actions = self._act(
+                        params, obs, params_env.adj, mask, jax.random.PRNGKey(0), 0.0
+                    )
+                    state, obs, _, _ = env.step(params_env, state, actions)
+                    return (state, obs), None
+
+                (state, _), _ = jax.lax.scan(
+                    body, (state, obs), None, length=env.max_steps
+                )
+                return jnp.max(state.best_score)
+
+            self._eval_rollout = jax.jit(rollout)
+
+        params_env = env.params_from_graph(graph)
+        return max(
+            float(self._eval_rollout(params, params_env, jax.random.fold_in(key, c)))
+            for c in range(num_restarts)
+        )

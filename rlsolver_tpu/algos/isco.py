@@ -191,9 +191,16 @@ def solve_maxcut_isco(
     cfg: ISCOConfig = ISCOConfig(),
     mode: str = "dense",
     instance_file: Optional[str] = None,
+    time_budget: Optional[float] = None,
+    record=None,
 ):
     """ISCO (mode='sparse') / PISCO (mode='dense', MXU) for maxcut.
-    Returns (best bits, best cut)."""
+    Returns (best bits, best cut).
+
+    `time_budget` (seconds): keep launching fresh annealed chain batches
+    through the SAME compiled program until the budget is exhausted (the
+    fixed-time benchmark protocol, reference `README.md:335`); `record(i,
+    best)` is called after each batch."""
     cg = cut_ops.CutGraph.build(graph, dtype=jnp.float32, with_dense=mode == "dense")
 
     def energy(x):
@@ -204,10 +211,23 @@ def solve_maxcut_isco(
 
     sampler = ISCOSampler(graph.num_nodes, energy, flip_delta, cfg)
     start = time.time()
-    best_x, best_e = jax.jit(sampler.run)(jax.random.PRNGKey(cfg.seed))
+    run_jit = jax.jit(sampler.run)
+    best_x, best_e = run_jit(jax.random.PRNGKey(cfg.seed))
     i = int(jnp.argmax(best_e))
     bits = np.asarray(best_x[i] > 0.5)
     val = float(best_e[i])
+    if record is not None:
+        record(0, val)
+    restart = 0
+    while time_budget is not None and time.time() - start < time_budget:
+        restart += 1
+        bx, be = run_jit(jax.random.PRNGKey(cfg.seed + restart))
+        j = int(jnp.argmax(be))
+        if float(be[j]) > val:
+            val = float(be[j])
+            bits = np.asarray(bx[j] > 0.5)
+        if record is not None:
+            record(restart, val)
     if instance_file is not None:
         write_graph_result(
             val, time.time() - start, graph.num_nodes, "isco", bits.astype(int), instance_file

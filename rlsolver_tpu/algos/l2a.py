@@ -66,6 +66,12 @@ class L2AConfig:
     ls_num_spin: int = 8
     seed: int = 0
     packed_sweep: bool = False  # bit-packed Pallas 1-flip sweep (TPU, {0, +-1} weights)
+    # fused_ls: replace the noisy-top-k local search in the rollout step with
+    # `fused_sweeps` degree-ordered packed sweeps (ops/pallas/mcpg_sweep.py)
+    # over all candidates — the MCPG-class search budget that makes the
+    # flagship competitive at Gset scale (round-3 item; TPU-only).
+    fused_ls: bool = False
+    fused_sweeps: int = 8
 
 
 # ---------------------------------------------------------------- pretraining
@@ -128,14 +134,16 @@ def _build_l2a_steps(
     (data-parallel dREINFORCE, the S2V_PPO DDP pattern,
     ref `train_ddp.py:16-258`); advantage normalization stays per-shard."""
 
-    def rollout_step(key, params, best_xs, best_vs, adj=None):
+    def rollout_step(key, params, best_xs, best_vs, adj=None, tables=None):
         """One policy-guided improvement step; returns transition pieces.
 
         `adj` (the env's dense adjacency) is threaded as a jit ARGUMENT:
         closed-over device arrays lower to dense IR literals, and the
         [N, N] adjacency at G70 scale (200 MB) blows past the remote
         compiler's request-size limit (HTTP 413). The remaining CutGraph
-        leaves are per-edge arrays (small) and stay closure constants."""
+        leaves are per-edge arrays (small) and stay closure constants.
+        `tables` (packed sweep masks, same IR-bloat argument) powers the
+        fused-sweep search when cfg.fused_ls is set."""
         env_ = env
         if adj is not None and env.cg.adj is not None:
             import copy as _copy
@@ -149,12 +157,22 @@ def _build_l2a_steps(
             probs + jax.random.normal(k_noise, probs.shape) * cfg.prob_noise, 0.0, 1.0
         )
         full_xs = sub_set_sampling(k_sample, probs, best_xs, cfg.num_repeats, cfg.top_k)
-        full_vs = env_.obj(full_xs)
-        for i in range(cfg.num_searchers):
-            k_ls, k = jax.random.split(k_ls)
-            full_xs, full_vs = env_.local_search(
-                k, full_xs, full_vs, num_iters=cfg.ls_iters, num_spin=cfg.ls_num_spin
+        if cfg.fused_ls and tables is not None:
+            # MCPG-class search budget: `fused_sweeps` noisy degree-ordered
+            # packed sweeps over all candidates (ops/pallas/engine.py)
+            seed = jax.random.randint(k_ls, (), 0, jnp.iinfo(jnp.int32).max)
+            blk = 512 if full_xs.shape[0] % 512 == 0 else full_xs.shape[0]
+            full_xs = env._fused_engine.sweep(
+                seed, full_xs, cfg.fused_sweeps, blk, tables=tables
             )
+            full_vs = env_.obj(full_xs)
+        else:
+            full_vs = env_.obj(full_xs)
+            for i in range(cfg.num_searchers):
+                k_ls, k = jax.random.split(k_ls)
+                full_xs, full_vs = env_.local_search(
+                    k, full_xs, full_vs, num_iters=cfg.ls_iters, num_spin=cfg.ls_num_spin
+                )
         good_xs, good_vs = pick_xs_by_vs(full_xs, full_vs, cfg.num_repeats)
         new_xs, new_vs = update_xs_by_vs(best_xs, best_vs, good_xs, good_vs)
         reward = new_vs - best_vs
@@ -242,6 +260,13 @@ def _build_l2a_steps(
 def _l2a_setup(graph: Graph, cfg: L2AConfig):
     """Common setup: env, encoder pretrain, policy net, optimizer."""
     env = MaxcutEnv(graph, packed_sweep=cfg.packed_sweep)
+    env._fused_engine = None
+    if cfg.fused_ls:
+        from rlsolver_tpu.ops.pallas.engine import FusedSweepEngine
+
+        chains = cfg.num_sims * cfg.num_repeats
+        blk = 512 if chains % 512 == 0 else chains
+        env._fused_engine = FusedSweepEngine.build(graph, blk)
     n = graph.num_nodes
     key = jax.random.PRNGKey(cfg.seed)
     key, k_pre = jax.random.split(key)
@@ -278,13 +303,14 @@ def solve_maxcut_l2a(
     evaluator = Evaluator(save_dir, n, np.asarray(best_xs[0]), float(best_vs[0]), True)
     start = time.time()
 
+    tables = env._fused_engine.tables if env._fused_engine is not None else None
     for iter_i in range(cfg.num_iters):
         states = [best_xs]
         rewards, logprobs = [], []
         for t in range(cfg.seq_len):
             key, k = jax.random.split(key)
             best_xs, best_vs, reward, logprob = rollout_jit(
-                k, params, best_xs, best_vs, env.cg.adj
+                k, params, best_xs, best_vs, env.cg.adj, tables
             )
             states.append(best_xs)
             rewards.append(reward)
@@ -346,11 +372,14 @@ def solve_maxcut_l2a_runner(
 
         def roll(carry, k):
             xs, vs = carry
-            # adj rides as a jit argument (not a closure constant) so the
-            # runner path stays remote-compilable at G70 scale, matching
-            # solve_maxcut_l2a's rollout call.
+            # adj and sweep tables ride as jit arguments (not closure
+            # constants) so the runner path stays remote-compilable at G70
+            # scale, matching solve_maxcut_l2a's rollout call.
+            tables = (
+                env._fused_engine.tables if env._fused_engine is not None else None
+            )
             new_xs, new_vs, reward, logprob = rollout_step(
-                k, state.params, xs, vs, env.cg.adj
+                k, state.params, xs, vs, env.cg.adj, tables
             )
             return (new_xs, new_vs), (new_xs, reward, logprob)
 

@@ -17,6 +17,7 @@ sampled graphs reuses one compiled program — no per-instance retrace.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import List, Optional, Tuple
 
 import jax
@@ -232,6 +233,170 @@ def train_l2a_distribution(cfg: L2ADistConfig = L2ADistConfig()):
         "history": history,
         "config": cfg,
     }
+
+
+def _guided_round(
+    net,
+    params,
+    seq_graph,
+    key,
+    tables,
+    adj,
+    xs,
+    vs,
+    *,
+    num_repeats: int,
+    top_k: int,
+    num_sweeps: int,
+    block_chains: int,
+    kernel,
+):
+    """One policy-guided packed-search improvement round (the reference's
+    rollout-step protocol, `demo_instance.py:141-168`, with the degree-
+    ordered MCPG sweep engine as the parallel local search).
+
+    `kernel`: None for the XLA 1-flip sweep (CPU-testable), or the static
+    `(weighted, node_chunk)` pair from a `FusedSweepEngine` selecting the
+    packed TPU kernel; the tables pytree rides separately as a traced
+    argument."""
+    k_sample, k_seed = jax.random.split(key)
+    logits, _ = net.apply(params, solution_to_prob_channels(xs), seq_graph)
+    probs = jax.nn.softmax(logits, axis=-1)[..., 0]
+    cand = sub_set_sampling(k_sample, probs, xs, num_repeats, top_k)
+    if kernel is not None:
+        from rlsolver_tpu.ops.pallas.mcpg_sweep import mcpg_sweep_fused
+        from rlsolver_tpu.ops.pallas.weighted_sweep import (
+            mcpg_sweep_weighted_fused,
+        )
+
+        weighted, node_chunk = kernel
+        seed = jax.random.randint(k_seed, (), 0, jnp.iinfo(jnp.int32).max)
+        if weighted:
+            bits = mcpg_sweep_weighted_fused(
+                seed, cand, tables, num_sweeps=num_sweeps,
+                block_chains=block_chains, node_chunk=node_chunk,
+            )
+        else:
+            bits = mcpg_sweep_fused(
+                seed, cand, tables, num_sweeps=num_sweeps,
+                block_chains=block_chains,
+            )
+    else:
+        bits = sweep_1flip_adj(cand, adj, num_sweeps)
+    cand_vs = _cut_value_adj(bits, adj)
+    s = xs.shape[0]
+    vs_r = cand_vs.reshape(num_repeats, s)
+    rows = jnp.argmax(vs_r, axis=0) * s + jnp.arange(s)
+    new_xs, new_vs = update_xs_by_vs(xs, vs, bits[rows], cand_vs[rows])
+    # MCPG-style incumbent propagation (MCPG.py:376-394): worst <- best
+    top = jnp.argmax(new_vs)
+    worst = jnp.argmin(new_vs)
+    new_xs = new_xs.at[worst].set(new_xs[top])
+    new_vs = new_vs.at[worst].set(new_vs[top])
+    return new_xs, new_vs
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "net", "num_repeats", "top_k", "num_sweeps", "block_chains",
+        "kernel", "block_len",
+    ),
+)
+def _guided_block(
+    net,
+    params,
+    seq_graph,
+    key,
+    tables,
+    adj,
+    xs,
+    vs,
+    *,
+    num_repeats: int,
+    top_k: int,
+    num_sweeps: int,
+    block_chains: int,
+    kernel,
+    block_len: int,
+):
+    """`block_len` guided rounds as one `lax.scan` program — one remote
+    dispatch per block, not per round. All per-instance data (`tables`,
+    `adj`, `seq_graph`) ride as jit ARGUMENTS, so one compiled program
+    serves every same-shape instance of a campaign cell (and across
+    distributions at the same N)."""
+
+    def body(carry, k):
+        xs, vs = carry
+        xs, vs = _guided_round(
+            net, params, seq_graph, k, tables, adj, xs, vs,
+            num_repeats=num_repeats, top_k=top_k, num_sweeps=num_sweeps,
+            block_chains=block_chains, kernel=kernel,
+        )
+        return (xs, vs), None
+
+    (xs, vs), _ = jax.lax.scan(body, (xs, vs), jax.random.split(key, block_len))
+    return xs, vs
+
+
+def evaluate_l2a_packed(
+    bundle: dict,
+    graphs: List,
+    num_rounds: int = 96,
+    num_sims: int = 512,
+    num_repeats: int = 16,
+    num_sweeps: int = 8,
+    seed: int = 0,
+    use_packed: Optional[bool] = None,
+) -> np.ndarray:
+    """Policy-guided inference with the bit-packed Pallas sweep engine.
+
+    The round-2 table showed L2A's eval-time search budget far below
+    MCPG's (96 rounds x 2048 candidates x 2 XLA sweeps vs 384 rounds x
+    8192 candidates x 8 packed sweeps) — the flagship lost to its own
+    baseline on search power, not policy quality. This evaluator drives the
+    same `mcpg_sweep_fused` kernel (~941M node-updates/s) under the trained
+    distribution-wise policy: per round, the policy conditions on the
+    incumbent population, `sub_set_sampling` resamples the top-k most
+    uncertain bits into `num_repeats` candidates, the packed degree-ordered
+    sweep refines all candidates, and best-of-repeats elitist-updates the
+    population (reference protocol `demo_instance.py:141-168` at MCPG-class
+    search budgets). Returns the best cut per instance.
+    """
+    from rlsolver_tpu.ops.pallas.engine import FusedSweepEngine
+
+    cfg: L2ADistConfig = bundle["config"]
+    net, params = bundle["net"], bundle["params"]
+    enc, enc_params = bundle["encoder"], bundle["encoder_params"]
+    if use_packed is None:
+        use_packed = jax.devices()[0].platform != "cpu"
+    chains = num_sims * num_repeats
+    block_chains = 512 if chains % 512 == 0 else chains
+
+    embed = jax.jit(lambda adj: enc.embed(enc_params, adj[None])[0])
+    block_len = 8
+    key = jax.random.PRNGKey(seed)
+    out = np.zeros(len(graphs))
+    for gi, g in enumerate(graphs):
+        adj = jnp.asarray(g.adjacency_dense(), jnp.float32)
+        tables, kernel = None, None
+        if use_packed:
+            engine = FusedSweepEngine.build(g, block_chains)
+            tables, kernel = engine.tables, (engine.weighted, engine.node_chunk)
+        seq = embed(adj)
+        key, k_init = jax.random.split(key)
+        xs = jax.random.bernoulli(k_init, 0.5, (num_sims, g.num_nodes))
+        vs = _cut_value_adj(xs, adj)
+        for _ in range(max(1, num_rounds // block_len)):
+            key, k = jax.random.split(key)
+            xs, vs = _guided_block(
+                net, params, seq, k, tables, adj, xs, vs,
+                num_repeats=num_repeats, top_k=cfg.top_k,
+                num_sweeps=num_sweeps, block_chains=block_chains,
+                kernel=kernel, block_len=block_len,
+            )
+        out[gi] = float(jnp.max(vs))
+    return out
 
 
 def evaluate_l2a_distribution(

@@ -30,9 +30,14 @@ import time
 import numpy as np
 
 INSTANCES = {
-    # name: (nodes, edges, seed, mcpg preset key)
+    # name: (nodes, edges, seed, mcpg preset key). G49/G50 are 3000-node
+    # 2D toroidal grids (deterministic; seed unused), G55 a 5000-node
+    # random graph — reference protocol rows `README.md:344-350`.
     "G14like": (800, 4694, 14, "gset_14"),
     "G22like": (2000, 19990, 22, "gset_22"),
+    "G49like": (3000, 6000, 0, "gset_22"),
+    "G50like": (3000, 6000, 1, "gset_22"),
+    "G55like": (5000, 12498, 55, "gset_55"),
     "G70like": (10000, 9999, 70, "gset_70"),
 }
 
@@ -45,6 +50,13 @@ def build_instance(name):
     from rlsolver_tpu.core.graph import Graph
 
     n, m, seed, _ = INSTANCES[name]
+    if name in ("G49like", "G50like"):
+        # 2D toroidal grid, the G49/G50 topology (30 x 100 / 50 x 60)
+        rows, cols = (30, 100) if name == "G49like" else (50, 60)
+        gx = nx.grid_2d_graph(rows, cols, periodic=True)
+        idx = {node: i for i, node in enumerate(gx.nodes)}
+        edges = [(idx[a], idx[b], 1.0) for a, b in gx.edges]
+        return Graph.from_edge_list(n, edges, name=name)
     gx = nx.gnm_random_graph(n, m, seed=seed)
     return Graph.from_edge_list(n, [(a, b, 1.0) for a, b in gx.edges], name=name)
 
@@ -115,27 +127,48 @@ def run_l2a(name, g, budget):
     n = g.num_nodes
     # Attention scores are query-chunked (models/transformer.py:ChunkedMHA)
     # so sims scale with N (qkv activations), not N^2 (score tensors).
+    # fused_ls: all candidates refined by 8 degree-ordered packed sweeps
+    # per rollout step (ops/pallas/engine.py) — MCPG-class search budget.
     if n <= 1000:
-        sims, reps, heads, embed = 256, 8, 4, 64
-    elif n <= 2500:
-        sims, reps, heads, embed = 128, 8, 4, 64
+        sims, reps, heads, embed = 256, 16, 4, 64
+    elif n <= 3000:
+        sims, reps, heads, embed = 128, 16, 4, 64
     else:
-        sims, reps, heads, embed = 32, 8, 4, 32
+        sims, reps, heads, embed = 32, 16, 4, 32
     cfg = L2AConfig(
         num_sims=sims,
         num_repeats=reps,
         num_heads=heads,
-        top_k=max(16, n // 64),
+        top_k=max(16, n // 10),
         seq_len=8,
         num_iters=10_000,
         embed_dim=embed,
         pretrain_steps=150 if n <= 2500 else 40,
         packed_sweep=True,
+        fused_ls=True,
+        fused_sweeps=8,
         seed=0,
     )
     _, best, ev = solve_maxcut_l2a(g, cfg, time_budget=budget, verbose=True)
     for step, v, t in ev.records:
         w.add(v, seconds=t)
+    return best
+
+
+def run_isco(name, g, budget):
+    from rlsolver_tpu.algos.isco import ISCOConfig, solve_maxcut_isco
+
+    w = CurveWriter(OUT, name, "isco")
+    n = g.num_nodes
+    mode = "sparse" if n > 5000 else "dense"
+    cfg = ISCOConfig(
+        batch_size=256 if n <= 3000 else 64,
+        chain_length=max(1000, 2 * n),
+        seed=0,
+    )
+    _, best = solve_maxcut_isco(
+        g, cfg, mode=mode, time_budget=budget, record=lambda i, b: w.add(b)
+    )
     return best
 
 
@@ -150,7 +183,7 @@ def summarize():
                 if float(row[3]) > best[k][0]:
                     best[k] = (float(row[3]), float(row[2]))
     names = sorted({k[0] for k in best})
-    algs = ["bls", "mcpg", "l2a"]
+    algs = ["bls", "isco", "mcpg", "l2a"]
     print(f"{'instance':10s} " + " ".join(f"{a:>14s}" for a in algs))
     for nm in names:
         cells = []
@@ -165,6 +198,12 @@ def main():
     p.add_argument("--insts", default="G14like,G22like,G70like")
     p.add_argument("--algs", default="bls,mcpg,l2a")
     p.add_argument("--budget", type=float, default=600.0)
+    p.add_argument(
+        "--redo",
+        default="",
+        help="comma-separated algs whose existing rows (for --insts) are "
+        "dropped from the CSV and re-run (engine upgrades)",
+    )
     p.add_argument("--summarize", action="store_true")
     p.add_argument(
         "--inline",
@@ -180,8 +219,17 @@ def main():
     if not os.path.exists(OUT):
         with open(OUT, "w", newline="") as f:
             csv.writer(f).writerow(["instance", "alg", "seconds", "obj"])
+    if args.redo:
+        redo = {(i, a) for i in args.insts.split(",") for a in args.redo.split(",")}
+        with open(OUT) as f:
+            rows = [r for r in csv.reader(f) if r]
+        with open(OUT, "w", newline="") as f:
+            wr = csv.writer(f)
+            for r in rows:
+                if (r[0], r[1]) not in redo:
+                    wr.writerow(r)
     done = done_pairs(OUT)
-    runners = {"bls": run_bls, "mcpg": run_mcpg, "l2a": run_l2a}
+    runners = {"bls": run_bls, "mcpg": run_mcpg, "l2a": run_l2a, "isco": run_isco}
     for name in args.insts.split(","):
         g = None
         for alg in args.algs.split(","):

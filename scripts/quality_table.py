@@ -61,6 +61,28 @@ def run_classical(alg, graph, seed):
         from rlsolver_tpu.classical.random_walk import random_walk_maxcut
 
         return random_walk_maxcut(graph, seed=seed)[1]
+    if alg == "specb":
+        # certified Poljak-Rendl upper bound (the license-free analogue of
+        # the reference's Gurobi-QUBO "obj bound" column, README.md:335)
+        from rlsolver_tpu.classical.spectral_bound import (
+            SpectralBoundConfig,
+            maxcut_upper_bound,
+        )
+
+        iters = 2000 if graph.num_nodes <= 500 else 1200
+        return maxcut_upper_bound(graph, SpectralBoundConfig(opt_iters=iters))[0]
+    if alg == "isco":
+        from rlsolver_tpu.algos.isco import ISCOConfig, solve_maxcut_isco
+
+        n = graph.num_nodes
+        cfg = ISCOConfig(
+            batch_size=256, chain_length=max(600, 2 * n), seed=seed
+        )
+        return solve_maxcut_isco(graph, cfg)[1]
+    if alg == "pignn":
+        from rlsolver_tpu.algos.pignn import PIGNNConfig, solve_maxcut_pignn
+
+        return solve_maxcut_pignn(graph, PIGNNConfig(seed=seed))[1]
     raise ValueError(alg)
 
 
@@ -71,7 +93,16 @@ def main():
     p.add_argument("--algs", default="greedy,sa,ga,sdp,rw,mcpg,l2a")
     p.add_argument("--ids", type=int, default=10)
     p.add_argument("--out", default="results_quality/dist_table.csv")
+    p.add_argument(
+        "--cpu", action="store_true",
+        help="force the CPU backend (CPU-only algs can then run concurrently "
+        "with a TPU campaign; the tunnel chip's HBM is shared)",
+    )
     args = p.parse_args()
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
 
     from rlsolver_tpu.config import GraphType
     from rlsolver_tpu.core.generate import graph_from_name
@@ -121,10 +152,90 @@ def main():
                         dt = (time.time() - t0) / len(todo)
                         for k, i in enumerate(todo):
                             append_row(args.out, dist, n, i, alg, float(bv[k]), dt)
+                    elif alg == "jumanji":
+                        from rlsolver_tpu.algos.jumanji_ppo import (
+                            MPNNActorCritic,
+                            SpinPPOConfig,
+                            make_greedy_evaluator,
+                            train_spin_ppo,
+                        )
+                        from rlsolver_tpu.core.generate import generate_graph
+                        from rlsolver_tpu.envs.spin_system import (
+                            SpinSystemConfig,
+                            SpinSystemEnv,
+                        )
+
+                        train_g = generate_graph(GraphType(dist), n, seed=91000)
+                        env = SpinSystemEnv(
+                            n,
+                            SpinSystemConfig(
+                                num_envs=128 if n <= 500 else 64,
+                                basin_reward=1.0 / n,
+                                stag_punishment=0.01,
+                            ),
+                        )
+                        jcfg = SpinPPOConfig(
+                            num_iters=40 if n <= 500 else 25,
+                            features=32,
+                            n_layers=2,
+                        )
+                        t0 = time.time()
+                        params, _ = train_spin_ppo(env, train_g, jcfg)
+                        net = MPNNActorCritic(
+                            features=jcfg.features, n_layers=jcfg.n_layers
+                        )
+                        ev = make_greedy_evaluator(env, net)
+                        dt = (time.time() - t0) / len(todo)
+                        for i in todo:
+                            v = ev(params, get_graphs()[i])
+                            append_row(args.out, dist, n, i, alg, v, dt)
+                    elif alg in ("eco", "s2v"):
+                        from rlsolver_tpu.algos.dqn import DQNAgent, DQNConfig
+                        from rlsolver_tpu.core.generate import generate_graph
+                        from rlsolver_tpu.envs.spin_system import (
+                            NUM_OBSERVABLES_S2V,
+                            RewardSignal,
+                            SpinSystemConfig,
+                            SpinSystemEnv,
+                        )
+
+                        train_g = generate_graph(GraphType(dist), n, seed=92000)
+                        if alg == "eco":
+                            env_cfg = SpinSystemConfig(
+                                num_envs=32,
+                                basin_reward=1.0 / n,
+                                stag_punishment=0.01,
+                            )
+                        else:  # S2V-DQN: irreversible one-shot construction
+                            env_cfg = SpinSystemConfig(
+                                num_envs=32,
+                                max_steps=n,
+                                reversible_spins=False,
+                                num_observables=NUM_OBSERVABLES_S2V,
+                                reward_signal=RewardSignal.DENSE,
+                                norm_rewards=False,
+                            )
+                        env = SpinSystemEnv(n, env_cfg)
+                        steps = 6144 if n <= 500 else 3072
+                        agent = DQNAgent(
+                            env,
+                            DQNConfig(
+                                features=32,
+                                n_layers=2,
+                                buffer_capacity=2**12,
+                                eps_decay_steps=steps // 2,
+                            ),
+                        )
+                        t0 = time.time()
+                        params, _, _ = agent.train_scan(train_g, steps)
+                        dt = (time.time() - t0) / len(todo)
+                        for i in todo:
+                            v = agent.evaluate_scan(params, get_graphs()[i])
+                            append_row(args.out, dist, n, i, alg, v, dt)
                     elif alg == "l2a":
                         from rlsolver_tpu.algos.l2a_distribution import (
                             L2ADistConfig,
-                            evaluate_l2a_distribution,
+                            evaluate_l2a_packed,
                             train_l2a_distribution,
                         )
 
@@ -133,9 +244,9 @@ def main():
                             num_nodes=n,
                             num_sims=256,
                             num_repeats=4,
-                            top_k=max(8, n // 32),
+                            top_k=max(12, n // 10),
                             seq_len=8,
-                            num_iters=40,
+                            num_iters=60,
                             embed_dim=32,
                             pretrain_steps=100,
                             ls_sweeps=2,
@@ -143,8 +254,13 @@ def main():
                         )
                         t0 = time.time()
                         bundle = train_l2a_distribution(cfg)
-                        adjs = [get_graphs()[i].adjacency_dense() for i in todo]
-                        vals = evaluate_l2a_distribution(bundle, adjs, num_rounds=96, num_sims=512)
+                        gs = [get_graphs()[i] for i in todo]
+                        # eval-time search at MCPG-class budget: the packed
+                        # degree-ordered sweep engine under policy guidance
+                        vals = evaluate_l2a_packed(
+                            bundle, gs, num_rounds=256, num_sims=512,
+                            num_repeats=16, num_sweeps=8,
+                        )
                         dt = (time.time() - t0) / len(todo)
                         for k, i in enumerate(todo):
                             append_row(args.out, dist, n, i, alg, float(vals[k]), dt)

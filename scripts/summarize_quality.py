@@ -13,27 +13,47 @@ import csv
 
 IN = "results_quality/dist_table.csv"
 OUT = "results_quality/DIST_TABLE.md"
-ALGS = ["rw", "greedy", "sdp", "sa", "ga", "mcpg", "l2a", "milp", "milp_bound"]
+ALGS = [
+    "rw", "greedy", "sdp", "sa", "ga", "s2v", "eco", "pignn", "jumanji",
+    "isco", "mcpg", "l2a", "milp", "bound",
+]
 LABEL = {
     "rw": "RandomWalk", "greedy": "Greedy", "sdp": "SDP-GW", "sa": "SA",
-    "ga": "GA+tabu", "mcpg": "MCPG", "l2a": "L2A", "milp": "HiGHS-60s",
-    "milp_bound": "HiGHS bound",
+    "ga": "GA+tabu", "s2v": "S2V-DQN", "eco": "ECO-DQN", "pignn": "PI-GNN",
+    "jumanji": "Jumanji", "isco": "ISCO", "mcpg": "MCPG", "l2a": "L2A",
+    "milp": "HiGHS-60s", "bound": "bound",
 }
 
 
 def main():
-    rows = collections.defaultdict(dict)  # (dist, n) -> alg -> [objs]
-    times = collections.defaultdict(dict)
+    by_gid = collections.defaultdict(dict)  # (dist, n) -> alg -> {gid: obj}
     with open(IN) as f:
         for r in csv.reader(f):
             if not r or r[0] == "dist":
                 continue
-            dist, n, _gid, alg, obj, sec = r[0], int(r[1]), r[2], r[3], float(r[4]), float(r[5])
-            rows[(dist, n)].setdefault(alg, []).append(obj)
-            times[(dist, n)].setdefault(alg, []).append(sec)
+            dist, n, gid, alg, obj = r[0], int(r[1]), int(r[2]), r[3], float(r[4])
+            # later rows win (re-runs with improved methods overwrite)
+            by_gid[(dist, n)].setdefault(alg, {})[gid] = obj
+    rows = {
+        k: {alg: list(d.values()) for alg, d in cell.items()}
+        for k, cell in by_gid.items()
+    }
 
     def avg(v):
         return sum(v) / len(v)
+
+    # "bound" = per-instance min of the HiGHS MILP dual bound and the
+    # certified Poljak-Rendl spectral bound (both valid maxcut upper
+    # bounds; the spectral one is the tight one from N >= 200)
+    for key, cell_g in by_gid.items():
+        parts = [cell_g.get("milp_bound"), cell_g.get("specb")]
+        parts = [p for p in parts if p]
+        if parts:
+            gids = set.intersection(*(set(p) for p in parts))
+            if gids:
+                rows[key]["bound"] = [
+                    min(p[g] for p in parts) for g in sorted(gids)
+                ]
 
     lines = [
         "# Distribution-wise maxcut benchmark (10 seeded instances per cell)",
@@ -41,8 +61,10 @@ def main():
         "Average best cut per method; reference protocol `README.md:356-371`.",
         "Instances are the seeded `{dist}_{N}_ID{i}` generator contract",
         "(`core/generate.py`), identical to the reference's `load_mygraph2`",
-        "seeding. `HiGHS bound` is the time-limited MILP dual bound (the",
-        "reference's Gurobi-1h 'obj bound' column, `README.md:335`); `gap%` =",
+        "seeding. `bound` is the per-instance min of the HiGHS time-limited",
+        "MILP dual bound and the certified Poljak-Rendl spectral bound",
+        "(`classical/spectral_bound.py`) — the license-free analogue of the",
+        "reference's Gurobi-1h 'obj bound' column (`README.md:335`); `gap%` =",
         "(bound - alg) / bound for the best learned method.",
         "",
     ]
@@ -67,8 +89,8 @@ def main():
             rl = max(
                 (avg(cell[a]) for a in ("mcpg", "l2a") if a in cell), default=None
             )
-            if rl is not None and "milp_bound" in cell:
-                gap = (avg(cell["milp_bound"]) - rl) / avg(cell["milp_bound"]) * 100
+            if rl is not None and "bound" in cell:
+                gap = (avg(cell["bound"]) - rl) / avg(cell["bound"]) * 100
                 gap_s = f"{gap:+.2f}"
             else:
                 gap_s = "—"
@@ -88,6 +110,27 @@ def main():
     lines.append("")
     if viol:
         lines.extend(f"- VIOLATION {v}" for v in viol)
+    else:
+        lines.append("- holds at every (distribution, N) recorded so far")
+    lines.append("")
+
+    # Flagship standing (round-3 done criterion, reference README.md:356-371:
+    # dREINFORCE >= every baseline; >= MCPG on the BA rows)
+    viol2 = []
+    for (dist, n), cell in sorted(rows.items()):
+        if "l2a" not in cell:
+            continue
+        l2a = avg(cell["l2a"])
+        if "ga" in cell and l2a < avg(cell["ga"]) - 1e-9:
+            viol2.append(f"{dist}_{n}: L2A {l2a:.1f} < GA {avg(cell['ga']):.1f}")
+        if dist == "BA" and "mcpg" in cell and l2a < avg(cell["mcpg"]) - 1e-9:
+            viol2.append(
+                f"{dist}_{n}: L2A {l2a:.1f} < MCPG {avg(cell['mcpg']):.1f}"
+            )
+    lines.append("## L2A flagship check (>= GA everywhere, >= MCPG on BA)")
+    lines.append("")
+    if viol2:
+        lines.extend(f"- VIOLATION {v}" for v in viol2)
     else:
         lines.append("- holds at every (distribution, N) recorded so far")
     lines.append("")

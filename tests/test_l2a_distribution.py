@@ -76,3 +76,34 @@ def test_distribution_training_no_recompile_and_validates():
         ]
     )
     assert score > mean_half
+
+
+def test_evaluate_l2a_packed_xla_twin_beats_greedy():
+    """The policy-guided packed-search evaluator (CPU: XLA sweep twin) must
+    improve monotonically past the greedy baseline on small instances."""
+    from rlsolver_tpu.algos.l2a_distribution import evaluate_l2a_packed
+    from rlsolver_tpu.classical.greedy import greedy_maxcut
+
+    cfg = small_cfg(num_nodes=32, num_iters=3)
+    bundle = train_l2a_distribution(cfg)
+    gs = [generate_graph(GraphType.BA, 32, seed=s) for s in (0, 1)]
+    vals = evaluate_l2a_packed(
+        bundle, gs, num_rounds=16, num_sims=32, num_repeats=4, num_sweeps=2
+    )
+    for g, v in zip(gs, vals):
+        assert v >= greedy_maxcut(g)[1] - 1e-6
+
+
+def test_guided_block_compile_shared_across_instances():
+    """Per-instance data rides as jit arguments: evaluating two same-shape
+    instances must not retrace `_guided_block`."""
+    from rlsolver_tpu.algos.l2a_distribution import _guided_block, evaluate_l2a_packed
+
+    cfg = small_cfg(num_nodes=24, num_iters=2)
+    bundle = train_l2a_distribution(cfg)
+    gs = [generate_graph(GraphType.BA, 24, seed=s) for s in (3, 4, 5)]
+    before = _guided_block._cache_size()
+    evaluate_l2a_packed(
+        bundle, gs, num_rounds=8, num_sims=16, num_repeats=2, num_sweeps=1
+    )
+    assert _guided_block._cache_size() - before == 1
