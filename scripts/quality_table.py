@@ -69,8 +69,14 @@ def run_classical(alg, graph, seed):
             maxcut_upper_bound,
         )
 
-        iters = 2000 if graph.num_nodes <= 500 else 1200
-        return maxcut_upper_bound(graph, SpectralBoundConfig(opt_iters=iters))[0]
+        n = graph.num_nodes
+        iters = 4000 if n <= 300 else (8000 if n <= 600 else 12000)
+        if n >= 2000:  # large-N rows: [N, N] @ [N, k] host matmuls dominate
+            iters = 3000
+        cfg = SpectralBoundConfig(
+            opt_iters=iters, lr=4.0, mu_halvings=10, certify_squarings=12
+        )
+        return maxcut_upper_bound(graph, cfg)[0]
     if alg == "isco":
         from rlsolver_tpu.algos.isco import ISCOConfig, solve_maxcut_isco
 
@@ -98,6 +104,11 @@ def main():
         help="force the CPU backend (CPU-only algs can then run concurrently "
         "with a TPU campaign; the tunnel chip's HBM is shared)",
     )
+    p.add_argument(
+        "--redo", default="",
+        help="comma-separated algs whose existing rows (for --sizes/--dists/"
+        "--ids) are dropped from the CSV and re-run (engine upgrades)",
+    )
     args = p.parse_args()
     if args.cpu:
         import jax
@@ -114,6 +125,22 @@ def main():
     if not os.path.exists(args.out):
         with open(args.out, "w", newline="") as f:
             csv.writer(f).writerow(["dist", "n", "id", "alg", "obj", "seconds"])
+    if args.redo:
+        drop = {
+            (d, n, i, a)
+            for d in dists
+            for n in sizes
+            for i in range(args.ids)
+            for a in args.redo.split(",")
+        }
+        with open(args.out) as f:
+            rows = [r for r in csv.reader(f) if r]
+        with open(args.out, "w", newline="") as f:
+            wr = csv.writer(f)
+            for r in rows:
+                key = (r[0], int(r[1]), int(r[2]), r[3]) if r[0] != "dist" else None
+                if key not in drop:
+                    wr.writerow(r)
     done = existing_rows(args.out)
 
     for n in sizes:
@@ -166,10 +193,22 @@ def main():
                         )
 
                         train_g = generate_graph(GraphType(dist), n, seed=91000)
-                        env = SpinSystemEnv(
+                        # truncated-rollout training env (a full 2N-step
+                        # rollout buffer is [2N, B, N, 7] — infeasible at
+                        # N=1000); evaluation runs full 2N-step episodes
+                        train_env = SpinSystemEnv(
                             n,
                             SpinSystemConfig(
                                 num_envs=128 if n <= 500 else 64,
+                                max_steps=min(2 * n, 256),
+                                basin_reward=1.0 / n,
+                                stag_punishment=0.01,
+                            ),
+                        )
+                        eval_env = SpinSystemEnv(
+                            n,
+                            SpinSystemConfig(
+                                num_envs=64,
                                 basin_reward=1.0 / n,
                                 stag_punishment=0.01,
                             ),
@@ -180,11 +219,11 @@ def main():
                             n_layers=2,
                         )
                         t0 = time.time()
-                        params, _ = train_spin_ppo(env, train_g, jcfg)
+                        params, _ = train_spin_ppo(train_env, train_g, jcfg)
                         net = MPNNActorCritic(
                             features=jcfg.features, n_layers=jcfg.n_layers
                         )
-                        ev = make_greedy_evaluator(env, net)
+                        ev = make_greedy_evaluator(eval_env, net)
                         dt = (time.time() - t0) / len(todo)
                         for i in todo:
                             v = ev(params, get_graphs()[i])
@@ -201,13 +240,21 @@ def main():
 
                         train_g = generate_graph(GraphType(dist), n, seed=92000)
                         if alg == "eco":
-                            env_cfg = SpinSystemConfig(
+                            # train on truncated episodes (replay stays
+                            # fresh); evaluate full 2N-step episodes
+                            train_cfg = SpinSystemConfig(
+                                num_envs=32,
+                                max_steps=min(2 * n, 512),
+                                basin_reward=1.0 / n,
+                                stag_punishment=0.01,
+                            )
+                            eval_cfg = SpinSystemConfig(
                                 num_envs=32,
                                 basin_reward=1.0 / n,
                                 stag_punishment=0.01,
                             )
                         else:  # S2V-DQN: irreversible one-shot construction
-                            env_cfg = SpinSystemConfig(
+                            train_cfg = eval_cfg = SpinSystemConfig(
                                 num_envs=32,
                                 max_steps=n,
                                 reversible_spins=False,
@@ -215,22 +262,20 @@ def main():
                                 reward_signal=RewardSignal.DENSE,
                                 norm_rewards=False,
                             )
-                        env = SpinSystemEnv(n, env_cfg)
                         steps = 6144 if n <= 500 else 3072
-                        agent = DQNAgent(
-                            env,
-                            DQNConfig(
-                                features=32,
-                                n_layers=2,
-                                buffer_capacity=2**12,
-                                eps_decay_steps=steps // 2,
-                            ),
+                        dcfg = DQNConfig(
+                            features=32,
+                            n_layers=2,
+                            buffer_capacity=2**12,
+                            eps_decay_steps=steps // 2,
                         )
+                        agent = DQNAgent(SpinSystemEnv(n, train_cfg), dcfg)
                         t0 = time.time()
                         params, _, _ = agent.train_scan(train_g, steps)
+                        eval_agent = DQNAgent(SpinSystemEnv(n, eval_cfg), dcfg)
                         dt = (time.time() - t0) / len(todo)
                         for i in todo:
-                            v = agent.evaluate_scan(params, get_graphs()[i])
+                            v = eval_agent.evaluate_scan(params, get_graphs()[i])
                             append_row(args.out, dist, n, i, alg, v, dt)
                     elif alg == "l2a":
                         from rlsolver_tpu.algos.l2a_distribution import (
@@ -258,8 +303,9 @@ def main():
                         # eval-time search at MCPG-class budget: the packed
                         # degree-ordered sweep engine under policy guidance
                         vals = evaluate_l2a_packed(
-                            bundle, gs, num_rounds=256, num_sims=512,
-                            num_repeats=16, num_sweeps=8,
+                            bundle, gs,
+                            num_rounds=128 if n <= 500 else 256,
+                            num_sims=512, num_repeats=16, num_sweeps=8,
                         )
                         dt = (time.time() - t0) / len(todo)
                         for k, i in enumerate(todo):

@@ -32,8 +32,13 @@ def main():
             if not r or r[0] == "dist":
                 continue
             dist, n, gid, alg, obj = r[0], int(r[1]), int(r[2]), r[3], float(r[4])
-            # later rows win (re-runs with improved methods overwrite)
-            by_gid[(dist, n)].setdefault(alg, {})[gid] = obj
+            cell = by_gid[(dist, n)].setdefault(alg, {})
+            if alg in ("specb", "milp_bound") and gid in cell:
+                # every recorded bound is certified: keep the tightest
+                cell[gid] = min(cell[gid], obj)
+            else:
+                # later rows win (re-runs with improved methods overwrite)
+                cell[gid] = obj
     rows = {
         k: {alg: list(d.values()) for alg, d in cell.items()}
         for k, cell in by_gid.items()
