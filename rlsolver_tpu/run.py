@@ -229,11 +229,13 @@ def _check_solution(problem: str, solution: np.ndarray, value: float, graph: Gra
     elif problem == "graph_partitioning":
         check = obj.obj_graph_partitioning(solution, graph)
     elif problem == "graph_coloring":
-        assert is_proper_coloring(graph, solution), "improper coloring"
+        if not is_proper_coloring(graph, solution):
+            raise RuntimeError("improper coloring")
         check = float(len(np.unique(solution)))
     else:
         return
-    assert abs(check - value) < 1e-4, f"solver/objective mismatch: {value} vs {check}"
+    if abs(check - value) >= 1e-4:
+        raise RuntimeError(f"solver/objective mismatch: {value} vs {check}")
 
 
 def run_one(
@@ -329,7 +331,8 @@ def run_instance_problem(problem: str, alg: str, path: str, seed: int, write: bo
     duration = time.time() - t0
     sol = np.asarray(sol).astype(np.int64)
     check = check_fn(sol, inst)
-    assert abs(check - value) < 1e-4, f"solver/objective mismatch: {value} vs {check}"
+    if abs(check - value) >= 1e-4:
+        raise RuntimeError(f"solver/objective mismatch: {value} vs {check}")
     out = None
     if write:
         out = write_graph_result(
