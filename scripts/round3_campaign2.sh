@@ -1,0 +1,24 @@
+#!/bin/bash
+# Round-3 TPU queue, part 2 (after the BA l2a redo stage).
+# - BA catch-up: fills any BA cells the stage-1 timeout cut (no --redo).
+# - PL redo DESCENDING so a timeout only cuts cheap small-N cells (old PL
+#   rows fail L2A<GA; ER old rows already pass and are left alone).
+# - New learned-method columns (VERDICT #2), ascending = guaranteed
+#   coverage of many sizes before any cutoff.
+cd /root/repo
+export PYTHONPATH=/root/.axon_site:/root/repo
+set -x
+timeout 900 python -u scripts/quality_table.py \
+  --algs l2a --dists BA \
+  >> results_quality/runner_l2a_r3.log 2>&1
+timeout 1800 python -u scripts/quality_table.py \
+  --algs l2a --redo l2a --dists PL \
+  --sizes 1000,900,800,700,600,500,400,300,200,100 \
+  >> results_quality/runner_l2a_r3.log 2>&1
+timeout 1800 python -u scripts/quality_table.py \
+  --algs pignn,isco \
+  > results_quality/runner_new1.log 2>&1
+timeout 1800 python -u scripts/quality_table.py \
+  --algs s2v,eco,jumanji \
+  > results_quality/runner_new2.log 2>&1
+echo ALL_STAGES_DONE
