@@ -13,12 +13,22 @@ timeout 900 python -u scripts/quality_table.py \
   >> results_quality/runner_l2a_r3.log 2>&1
 timeout 1800 python -u scripts/quality_table.py \
   --algs l2a --redo l2a --dists PL \
-  --sizes 1000,900,800,700,600,500,400,300,200,100 \
+  --sizes 1000,900,800,700,600,500,400,300 \
   >> results_quality/runner_l2a_r3.log 2>&1
-timeout 1800 python -u scripts/quality_table.py \
+timeout 2700 python -u scripts/quality_table.py \
   --algs pignn,isco \
   > results_quality/runner_new1.log 2>&1
-timeout 1800 python -u scripts/quality_table.py \
+timeout 3600 python -u scripts/quality_table.py \
   --algs s2v,eco,jumanji \
   > results_quality/runner_new2.log 2>&1
+# VERDICT #5a: reference BA/ER tables run to N=2000-3000
+timeout 3600 python -u scripts/quality_table.py \
+  --algs greedy,sa,ga,rw,mcpg,l2a --dists BA,ER --sizes 2000,3000 \
+  > results_quality/runner_largen.log 2>&1
+# VERDICT #4/#5b: instance-wise with the tabu-BLS engine, fused-ls L2A,
+# isco column, and the G49/G50/G55like stand-ins (reference 600 s budget)
+timeout 14400 python -u scripts/instance_wise.py \
+  --insts G14like,G22like,G70like,G49like,G50like,G55like \
+  --algs bls,isco,mcpg,l2a --redo bls,l2a --budget 600 \
+  > results_quality/runner_iw_r3.log 2>&1
 echo ALL_STAGES_DONE
