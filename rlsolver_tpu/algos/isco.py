@@ -28,7 +28,7 @@ from __future__ import annotations
 
 import dataclasses
 import time
-from typing import Callable, NamedTuple, Optional, Tuple
+from typing import Callable, NamedTuple, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -115,13 +115,20 @@ class ISCOSampler:
 
     `energy_fn(x) -> [B]` (higher = better, MAXIMIZED) and
     `flip_delta_fn(x) -> [B, N]` (exact energy change of each single flip).
+
+    Both callables may instead take a second `data` pytree argument; pass
+    the pytree through `step(..., data=...)` / `run(key, data)` and the
+    instance data rides as a jit ARGUMENT instead of a baked-in closure
+    constant, so same-shape instances share one compiled program (the
+    remote-TPU tunnel makes per-instance recompiles the dominant cost of
+    a campaign cell).
     """
 
     def __init__(
         self,
         num_nodes: int,
-        energy_fn: Callable[[jax.Array], jax.Array],
-        flip_delta_fn: Callable[[jax.Array], jax.Array],
+        energy_fn: Callable[..., jax.Array],
+        flip_delta_fn: Callable[..., jax.Array],
         cfg: ISCOConfig = ISCOConfig(),
     ):
         self.num_nodes = num_nodes
@@ -129,17 +136,27 @@ class ISCOSampler:
         self.flip_delta_fn = flip_delta_fn
         self.cfg = cfg
 
-    def step(self, key, x, path_length, temperature):
+    def _energy(self, x, data):
+        return self.energy_fn(x) if data is None else self.energy_fn(x, data)
+
+    def _flip_delta(self, x, data):
+        return (
+            self.flip_delta_fn(x)
+            if data is None
+            else self.flip_delta_fn(x, data)
+        )
+
+    def step(self, key, x, path_length, temperature, data=None):
         """One path-auxiliary MH step. x: f32 {0,1} [B, N]."""
         k_prop, k_acc = jax.random.split(key)
-        e_x_raw = self.energy_fn(x)
-        scores_x = self.flip_delta_fn(x) / (2.0 * temperature)
+        e_x_raw = self._energy(x, data)
+        scores_x = self._flip_delta(x, data) / (2.0 * temperature)
         log_prob_x = jax.nn.log_softmax(scores_x, axis=-1)
         info = sample_flip_set(k_prop, log_prob_x, path_length)
         y = x * (1 - info.mask) + info.mask * (1 - x)
 
-        e_y_raw = self.energy_fn(y)
-        scores_y = self.flip_delta_fn(y) / (2.0 * temperature)
+        e_y_raw = self._energy(y, data)
+        scores_y = self._flip_delta(y, data) / (2.0 * temperature)
         log_prob_y = jax.nn.log_softmax(scores_y, axis=-1)
         ll_y2x = reverse_ll(log_prob_y, info)
 
@@ -151,7 +168,7 @@ class ISCOSampler:
         x_new = jnp.where(accept[:, None], y, x)
         return x_new, jnp.where(accept, e_y_raw, e_x_raw), jnp.exp(log_acc)
 
-    def run(self, key: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    def run(self, key: jax.Array, data=None) -> Tuple[jax.Array, jax.Array]:
         """Full annealed chain as one jitted scan. Returns
         (best_x [B, N], best_energy [B])."""
         cfg = self.cfg
@@ -172,7 +189,7 @@ class ISCOSampler:
             path_length = jnp.clip(
                 jax.random.poisson(k_pl, mu, (b,)), 1, n
             ).astype(jnp.int32)
-            x, energy, acc = self.step(k_step, x, path_length, temp)
+            x, energy, acc = self.step(k_step, x, path_length, temp, data)
             mu = jnp.clip(mu + cfg.mu_lr * (acc - cfg.target_accept), 1.0, float(n))
             better = energy > best_e
             best_e = jnp.where(better, energy, best_e)
@@ -180,7 +197,7 @@ class ISCOSampler:
             return (x, mu, best_x, best_e, key), None
 
         mu0 = jnp.full((b,), cfg.mu_init)
-        init = (x0, mu0, x0, self.energy_fn(x0), key)
+        init = (x0, mu0, x0, self._energy(x0, data), key)
         (x, mu, best_x, best_e, _), _ = jax.lax.scan(body, init, temps)
         return best_x, best_e
 
@@ -233,6 +250,73 @@ def solve_maxcut_isco(
             val, time.time() - start, graph.num_nodes, "isco", bits.astype(int), instance_file
         )
     return bits, val
+
+
+def solve_maxcut_isco_cell(
+    graphs: Sequence[Graph],
+    cfg: ISCOConfig = ISCOConfig(),
+    mode: str = "dense",
+) -> Tuple[np.ndarray, np.ndarray]:
+    """ISCO over a whole campaign cell (same-node-count instances) as ONE
+    vmapped jitted program: the per-instance `CutGraph` rides as a jit
+    argument with a stacked leading axis, so a 10-instance cell costs one
+    tunnel compile and one launch instead of 10 of each (the per-instance
+    variant `solve_maxcut_isco` bakes the graph into the jaxpr as a
+    closure constant). Returns (best bits [G, N], best cut [G]).
+
+    Reference protocol: `main_ISCO_maxcut.py:18-45` run per instance; the
+    batching here is a TPU-side restructuring, not a semantic change —
+    chains are independent across instances.
+    """
+    n = graphs[0].num_nodes
+    if any(g.num_nodes != n for g in graphs):
+        raise ValueError("cell instances must share num_nodes")
+    cgs = [
+        cut_ops.CutGraph.build(g, jnp.float32, with_dense=mode == "dense")
+        for g in graphs
+    ]
+    if mode == "dense":
+        # dense paths never read the per-edge arrays, and their [m] shapes
+        # differ across ER instances (would force a retrace): stub them.
+        stub = jnp.zeros(1, jnp.int32)
+        cgs = [
+            cg._replace(n0=stub, n1=stub, w=jnp.zeros(1, jnp.float32))
+            for cg in cgs
+        ]
+    else:
+        # pad edge arrays to the cell max with weight-0 (0, 0) self-loops:
+        # XOR(x0, x0) = 0 and w = 0 keep every objective/gain exact.
+        m_max = max(int(cg.n0.shape[0]) for cg in cgs)
+        cgs = [
+            cg._replace(
+                n0=jnp.pad(cg.n0, (0, m_max - cg.n0.shape[0])),
+                n1=jnp.pad(cg.n1, (0, m_max - cg.n1.shape[0])),
+                w=jnp.pad(cg.w, (0, m_max - cg.w.shape[0])),
+            )
+            for cg in cgs
+        ]
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *cgs)
+    # num_nodes must stay a static python int (segment_sum num_segments)
+    stacked = stacked._replace(num_nodes=n)
+    axes = cut_ops.CutGraph(
+        num_nodes=None, adj=0 if mode == "dense" else None,
+        n0=0, n1=0, w=0, deg_w=0, total_w=0,
+    )
+
+    def energy(x, cg):
+        return cut_ops.cut_value(x > 0.5, cg, mode)
+
+    def flip_delta(x, cg):
+        return cut_ops.flip_gains(x > 0.5, cg, mode)
+
+    sampler = ISCOSampler(n, energy, flip_delta, cfg)
+    run_v = jax.jit(jax.vmap(sampler.run, in_axes=(0, axes)))
+    keys = jax.random.split(jax.random.PRNGKey(cfg.seed), len(graphs))
+    best_x, best_e = run_v(keys, stacked)  # [G, B, N], [G, B]
+    idx = jnp.argmax(best_e, axis=1)
+    bits = jnp.take_along_axis(best_x, idx[:, None, None], axis=1)[:, 0] > 0.5
+    vals = jnp.max(best_e, axis=1)
+    return np.asarray(bits), np.asarray(vals)
 
 
 def solve_mis_isco(

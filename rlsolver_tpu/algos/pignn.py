@@ -89,6 +89,99 @@ def solve_maxcut_pignn(
     return bits, val
 
 
+def solve_maxcut_pignn_cell(
+    graphs, cfg: PIGNNConfig = PIGNNConfig(), chunk: int = 500
+):
+    """PI-GNN over a whole campaign cell as ONE vmapped jitted program.
+
+    The per-instance variant `solve_maxcut_pignn` bakes `a_norm` and the
+    edge arrays into the jaxpr as closure constants and syncs the host
+    every optimizer step — per-instance recompiles plus thousands of
+    tunnel round-trips. Here all G instances train simultaneously: params
+    / optimizer state / normalized adjacency carry a leading instance
+    axis, edge arrays are zero-weight-padded to the cell max, training
+    runs in `chunk`-step `lax.scan` dispatches with device-side
+    best-probs tracking, and early stopping happens at chunk granularity
+    (one host sync per chunk). Returns (bits [G, N] bool, cut [G] f32).
+
+    Reference counterpart: per-instance Lightning loop with EarlyStopping
+    (`PIGNN/main.py:48-55`).
+    """
+    n = graphs[0].num_nodes
+    g_cnt = len(graphs)
+    m_max = max(g.edge_arrays()[0].shape[0] for g in graphs)
+    n0s, n1s, ws = [], [], []
+    for g in graphs:
+        a, b, w = g.edge_arrays()
+        pad = m_max - len(a)
+        n0s.append(np.pad(a, (0, pad)))
+        n1s.append(np.pad(b, (0, pad)))
+        ws.append(np.pad(w, (0, pad)))  # w = 0: padded edges are no-ops
+    n0 = jnp.asarray(np.stack(n0s))
+    n1 = jnp.asarray(np.stack(n1s))
+    w = jnp.asarray(np.stack(ws).astype(np.float32))
+    a_norm = jnp.asarray(
+        np.stack([normalized_adjacency(g) for g in graphs]).astype(np.float32)
+    )
+
+    model = GCN(hidden=cfg.hidden, out_dim=1)
+    opt = optax.adam(cfg.lr)
+
+    def init_one(key):
+        k_emb, k_init = jax.random.split(key)
+        node_embed = jax.random.normal(k_emb, (n, cfg.embed_dim)) * 0.1
+        return {
+            "gcn": model.init(k_init, node_embed, a_norm[0]),
+            "embed": node_embed,
+        }
+
+    keys = jax.random.split(jax.random.PRNGKey(cfg.seed), g_cnt)
+    params = jax.vmap(init_one)(keys)
+    opt_state = opt.init(params)
+
+    def loss_one(p, an, e0, e1, ew):
+        logits = model.apply(p["gcn"], p["embed"], an)[..., 0]
+        probs = jax.nn.sigmoid(logits)
+        loss = -jnp.sum(ew * (probs[e0] + probs[e1] - 2.0 * probs[e0] * probs[e1]))
+        return loss, probs
+
+    grad_v = jax.vmap(jax.value_and_grad(loss_one, has_aux=True))
+
+    @jax.jit
+    def run_chunk(params, opt_state, best_loss, best_probs):
+        def body(carry, _):
+            params, opt_state, best_loss, best_probs = carry
+            (loss, probs), grads = grad_v(params, a_norm, n0, n1, w)
+            updates, opt_state = opt.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            better = loss < best_loss - cfg.tol
+            best_loss = jnp.where(better, loss, best_loss)
+            best_probs = jnp.where(better[:, None], probs, best_probs)
+            return (params, opt_state, best_loss, best_probs), None
+
+        return jax.lax.scan(
+            body, (params, opt_state, best_loss, best_probs), None, length=chunk
+        )[0]
+
+    best_loss = jnp.full((g_cnt,), jnp.inf)
+    best_probs = jnp.zeros((g_cnt, n))
+    prev = np.full((g_cnt,), np.inf)
+    for _ in range(max(1, cfg.max_steps // chunk)):
+        params, opt_state, best_loss, best_probs = run_chunk(
+            params, opt_state, best_loss, best_probs
+        )
+        cur = np.asarray(best_loss)
+        if np.all(cur > prev - cfg.tol):  # no instance improved this chunk
+            break
+        prev = cur
+    bits = np.asarray(best_probs) > 0.5
+    xb = bits.astype(np.int8)
+    n0_h, n1_h, w_h = np.stack(n0s), np.stack(n1s), np.stack(ws)
+    cut_e = (np.take_along_axis(xb, n0_h, 1) ^ np.take_along_axis(xb, n1_h, 1))
+    vals = (cut_e * w_h).sum(axis=1).astype(np.float32)
+    return bits, vals
+
+
 def solve_mis_pignn(
     graph: Graph, cfg: PIGNNConfig = PIGNNConfig()
 ) -> Tuple[np.ndarray, float]:

