@@ -70,7 +70,7 @@ case "$part" in
   stage specb_fill 7200 python -u scripts/quality_table.py \
     --algs specb --dists PL --sizes 700,800,900,1000
   stage specb_fill2 7200 python -u scripts/quality_table.py \
-    --algs specb --dists BA,ER --sizes 800,900,1000,2000,3000
+    --algs specb --dists BA,ER --sizes 700,800,900,1000,2000,3000
   ;;
 *) echo "unknown part $part"; exit 2 ;;
 esac
