@@ -45,7 +45,13 @@ def _train(graph: Graph, loss_of_probs, cfg: PIGNNConfig):
     key = jax.random.PRNGKey(cfg.seed)
     k_emb, k_init = jax.random.split(key)
     node_embed = jax.random.normal(k_emb, (n, cfg.embed_dim)) * 0.1
-    params = {"gcn": model.init(k_init, node_embed, a_norm), "embed": node_embed}
+    k_init, k_skip = jax.random.split(k_init)
+    params = {
+        "gcn": model.init(k_init, node_embed, a_norm),
+        "embed": node_embed,
+        # see solve_maxcut_pignn_cell: anti-over-smoothing skip readout
+        "skip": jax.random.normal(k_skip, (cfg.embed_dim,)) * 0.1,
+    }
     opt = optax.adam(cfg.lr)
     opt_state = opt.init(params)
 
@@ -53,6 +59,7 @@ def _train(graph: Graph, loss_of_probs, cfg: PIGNNConfig):
     def step(params, opt_state):
         def loss_fn(p):
             logits = model.apply(p["gcn"], p["embed"], a_norm)[..., 0]
+            logits = logits + p["embed"] @ p["skip"]
             probs = jax.nn.sigmoid(logits)
             return loss_of_probs(probs), probs
 
@@ -78,9 +85,12 @@ def solve_maxcut_pignn(
 ) -> Tuple[np.ndarray, float]:
     e_n0, e_n1, e_w = graph.edge_arrays()
     n0, n1, w = jnp.asarray(e_n0), jnp.asarray(e_n1), jnp.asarray(e_w)
+    # total-weight normalization: see solve_maxcut_pignn_cell (unnormalized
+    # gradients saturate the sigmoid on dense cells at N >= 200)
+    tw = max(float(e_w.sum()), 1e-9)
 
     def loss_of_probs(p):
-        return -jnp.sum(w * (p[n0] + p[n1] - 2.0 * p[n0] * p[n1]))
+        return -jnp.sum(w * (p[n0] + p[n1] - 2.0 * p[n0] * p[n1])) / tw
 
     probs = _train(graph, loss_of_probs, cfg)
     bits = probs > 0.5
@@ -128,22 +138,36 @@ def solve_maxcut_pignn_cell(
     opt = optax.adam(cfg.lr)
 
     def init_one(key):
-        k_emb, k_init = jax.random.split(key)
+        k_emb, k_init, k_skip = jax.random.split(key, 3)
         node_embed = jax.random.normal(k_emb, (n, cfg.embed_dim)) * 0.1
         return {
             "gcn": model.init(k_init, node_embed, a_norm[0]),
             "embed": node_embed,
+            # direct embed->logit readout: on dense cells the GCN stack
+            # over-smooths (every node converges to the same logit, the
+            # rounded solution puts all nodes on one side, cut 0 — observed
+            # on ER at N >= 200); the skip path keeps per-node identity
+            # trainable regardless of propagation depth
+            "skip": jax.random.normal(k_skip, (cfg.embed_dim,)) * 0.1,
         }
 
     keys = jax.random.split(jax.random.PRNGKey(cfg.seed), g_cnt)
     params = jax.vmap(init_one)(keys)
     opt_state = opt.init(params)
 
-    def loss_one(p, an, e0, e1, ew):
+    # normalize by total weight: the raw Hamiltonian's gradient scale grows
+    # with edge count, and on dense ER cells at N >= 200 Adam at lr 1e-3
+    # drives the logits into sigmoid saturation (observed: whole cells
+    # collapsing to near-zero cut, one instance exactly 0.0). The argmin
+    # is unchanged; the loss is now O(1) at every size.
+    tw = jnp.maximum(jnp.sum(w, axis=1), 1e-9)  # [G]
+
+    def loss_one(p, an, e0, e1, ew, wsum):
         logits = model.apply(p["gcn"], p["embed"], an)[..., 0]
+        logits = logits + p["embed"] @ p["skip"]
         probs = jax.nn.sigmoid(logits)
-        loss = -jnp.sum(ew * (probs[e0] + probs[e1] - 2.0 * probs[e0] * probs[e1]))
-        return loss, probs
+        cut = jnp.sum(ew * (probs[e0] + probs[e1] - 2.0 * probs[e0] * probs[e1]))
+        return -cut / wsum, probs
 
     grad_v = jax.vmap(jax.value_and_grad(loss_one, has_aux=True))
 
@@ -151,7 +175,7 @@ def solve_maxcut_pignn_cell(
     def run_chunk(params, opt_state, best_loss, best_probs):
         def body(carry, _):
             params, opt_state, best_loss, best_probs = carry
-            (loss, probs), grads = grad_v(params, a_norm, n0, n1, w)
+            (loss, probs), grads = grad_v(params, a_norm, n0, n1, w, tw)
             updates, opt_state = opt.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
             better = loss < best_loss - cfg.tol

@@ -52,6 +52,10 @@ case "$part" in
     --algs s2v,eco,jumanji
   ;;
 2)
+  # pignn redo: part-1 ran before the over-smoothing fix (skip readout +
+  # loss normalization) landed; rows are append-only / later-rows-win
+  stage pignn_redo 3600 python -u scripts/quality_table.py \
+    --algs pignn --redo pignn
   stage l2a_fill 5400 python -u scripts/quality_table.py \
     --algs l2a --dists BA,PL --sizes 300,400,500,600,700,800,900,1000
   stage standing 7200 python -u scripts/standing_pass.py \
