@@ -296,8 +296,6 @@ def solve_maxcut_isco_cell(
             for cg in cgs
         ]
     stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *cgs)
-    # num_nodes must stay a static python int (segment_sum num_segments)
-    stacked = stacked._replace(num_nodes=n)
     axes = cut_ops.CutGraph(
         num_nodes=None, adj=0 if mode == "dense" else None,
         n0=0, n1=0, w=0, deg_w=0, total_w=0,
@@ -310,7 +308,14 @@ def solve_maxcut_isco_cell(
         return cut_ops.flip_gains(x > 0.5, cg, mode)
 
     sampler = ISCOSampler(n, energy, flip_delta, cfg)
-    run_v = jax.jit(jax.vmap(sampler.run, in_axes=(0, axes)))
+
+    def run_one(key, cg):
+        # rebind num_nodes as a STATIC python int: jit traces every pytree
+        # leaf, and segment_sum (sparse flip gains) needs a concrete
+        # num_segments
+        return sampler.run(key, cg._replace(num_nodes=n))
+
+    run_v = jax.jit(jax.vmap(run_one, in_axes=(0, axes)))
     keys = jax.random.split(jax.random.PRNGKey(cfg.seed), len(graphs))
     best_x, best_e = run_v(keys, stacked)  # [G, B, N], [G, B]
     idx = jnp.argmax(best_e, axis=1)
