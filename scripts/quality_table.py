@@ -330,6 +330,15 @@ def main():
                             append_row(args.out, dist, n, i, alg, v, time.time() - t0)
                 except Exception as e:  # keep the sweep going; log and move on
                     print(f"!! {dist}_{n} {alg} failed: {e!r}", flush=True)
+                    # a crashed TPU worker kills THIS CLIENT PROCESS's
+                    # backend for good — every later cell would fail in ~0s
+                    # (round-4 post-mortem: one crash at BA_500 silently ate
+                    # 36 cells). Exit non-zero so the fail-loud launcher
+                    # records FAIL and a fresh-process retry can resume.
+                    if "UNAVAILABLE" in repr(e) or "crashed" in repr(e):
+                        print("!! backend unavailable - aborting for retry",
+                              flush=True)
+                        raise SystemExit(17)
     print("done", flush=True)
 
 

@@ -26,17 +26,24 @@ STATUS=results_quality/campaign_status.log
 stage() {
   local name=$1 tmo=$2; shift 2
   local log="results_quality/r4_${name}.log"
-  local t0=$(date +%s)
-  echo "[$(date -u +%FT%TZ)] START $name (timeout ${tmo}s)" >> "$STATUS"
-  timeout "$tmo" "$@" >> "$log" 2>&1
-  local rc=$? t1=$(date +%s)
-  local verdict=PASS
-  if [ $rc -eq 124 ]; then verdict=TIMEOUT; elif [ $rc -ne 0 ]; then verdict=FAIL; fi
-  echo "[$(date -u +%FT%TZ)] $verdict $name exit=$rc dur=$((t1-t0))s log=$log" >> "$STATUS"
-  if [ $verdict = FAIL ]; then
-    echo "--- last lines of $log:" >> "$STATUS"
-    tail -3 "$log" >> "$STATUS"
-  fi
+  local attempt rc t0 t1 verdict
+  for attempt in 1 2; do  # one fresh-process retry (TPU worker crashes
+                          # kill a client's backend; CSVs are resumable)
+    t0=$(date +%s)
+    echo "[$(date -u +%FT%TZ)] START $name attempt $attempt (timeout ${tmo}s)" >> "$STATUS"
+    timeout "$tmo" "$@" >> "$log" 2>&1
+    rc=$?; t1=$(date +%s)
+    verdict=PASS
+    if [ $rc -eq 124 ]; then verdict=TIMEOUT; elif [ $rc -ne 0 ]; then verdict=FAIL; fi
+    echo "[$(date -u +%FT%TZ)] $verdict $name attempt $attempt exit=$rc dur=$((t1-t0))s log=$log" >> "$STATUS"
+    if [ $verdict = FAIL ]; then
+      echo "--- last lines of $log:" >> "$STATUS"
+      tail -3 "$log" >> "$STATUS"
+      sleep 20
+      continue
+    fi
+    break
+  done
   return $rc
 }
 
@@ -52,10 +59,14 @@ case "$part" in
     --algs s2v,eco,jumanji
   ;;
 2)
-  # pignn redo: part-1 ran before the over-smoothing fix (skip readout +
-  # loss normalization) landed; rows are append-only / later-rows-win
+  # N>=500 isco/pignn: lost in part 1 to a TPU worker crash at BA_500
+  # (resumable fill; pignn cells here use the fixed over-smoothing code)
+  stage isco_pignn_500up 7200 python -u scripts/quality_table.py \
+    --algs isco,pignn --sizes 500,600,700,800,900,1000
+  # pignn redo at N<=400: those cells ran before the over-smoothing fix
+  # (skip readout + loss normalization); rows are append-only
   stage pignn_redo 3600 python -u scripts/quality_table.py \
-    --algs pignn --redo pignn
+    --algs pignn --redo pignn --sizes 100,200,300,400
   stage l2a_fill 5400 python -u scripts/quality_table.py \
     --algs l2a --dists BA,PL --sizes 300,400,500,600,700,800,900,1000
   stage standing 7200 python -u scripts/standing_pass.py \
