@@ -61,7 +61,7 @@ def append_improvements(dist, n, alg, vals, dt):
     return improved, sum(merged) / len(merged)
 
 
-def run_l2a(dist, n, ids, seed):
+def run_l2a(dist, n, ids, seed, args):
     from rlsolver_tpu.algos.l2a_distribution import (
         L2ADistConfig,
         evaluate_l2a_packed,
@@ -77,7 +77,7 @@ def run_l2a(dist, n, ids, seed):
         num_repeats=4,
         top_k=max(12, n // 10),
         seq_len=8,
-        num_iters=80,
+        num_iters=args.iters,
         embed_dim=32,
         pretrain_steps=100,
         ls_sweeps=2,
@@ -89,12 +89,13 @@ def run_l2a(dist, n, ids, seed):
     graphs = [graph_from_name(f"{dist}_{n}_ID{i}") for i in range(ids)]
     vals = evaluate_l2a_packed(
         bundle, graphs,
-        num_rounds=512, num_sims=1024, num_repeats=16, num_sweeps=8, seed=seed,
+        num_rounds=args.rounds, num_sims=args.eval_sims,
+        num_repeats=16, num_sweeps=8, seed=seed,
     )
     return [float(v) for v in vals], time.time() - t0
 
 
-def run_mcpg(dist, n, ids, seed):
+def run_mcpg(dist, n, ids, seed, args):
     from rlsolver_tpu.algos.mcpg import MCPGConfig
     from rlsolver_tpu.algos.mcpg_batch import solve_maxcut_mcpg_batched
     from rlsolver_tpu.core.generate import graph_from_name
@@ -104,7 +105,7 @@ def run_mcpg(dist, n, ids, seed):
         total_mcmc_num=512,
         repeat_times=64,
         num_ls=8,
-        max_epoch_num=10,
+        max_epoch_num=args.mcpg_epochs,
         reset_epoch_num=64,
         seed=seed,
     )
@@ -120,7 +121,16 @@ def main():
     p.add_argument("--attempts", type=int, default=2)
     p.add_argument("--algs", default="l2a,mcpg")
     p.add_argument("--seed-base", type=int, default=7)
+    p.add_argument("--cpu", action="store_true")
+    p.add_argument("--rounds", type=int, default=512)
+    p.add_argument("--eval-sims", type=int, default=1024)
+    p.add_argument("--iters", type=int, default=80)
+    p.add_argument("--mcpg-epochs", type=int, default=10)
     args = p.parse_args()
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
 
     runners = {"l2a": run_l2a, "mcpg": run_mcpg}
     for cell in args.cells.split(","):
@@ -131,7 +141,7 @@ def main():
             for alg in args.algs.split(","):
                 t0 = time.time()
                 try:
-                    vals, dt = runners[alg](dist, n, args.ids, seed)
+                    vals, dt = runners[alg](dist, n, args.ids, seed, args)
                 except Exception as e:
                     print(f"!! {cell} {alg} attempt {attempt} failed: {e!r}",
                           flush=True)
