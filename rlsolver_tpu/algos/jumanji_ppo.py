@@ -68,6 +68,10 @@ class SpinPPOConfig:
     entropy_coef: float = 0.01
     value_coef: float = 0.5
     update_epochs: int = 4  # PPO passes over the rollout
+    num_minibatches: int = 1  # chunks per epoch: the whole [T*B] rollout
+    # through the MPNN at once OOMs at N >= 400 with 128 envs x 256 steps
+    # ([32768, N, 64] activation tensors); minibatching bounds the
+    # activation footprint at T*B/num_minibatches rows
     features: int = 32
     n_layers: int = 2
     seed: int = 0
@@ -151,13 +155,7 @@ def train_spin_ppo(
         )
         return advs
 
-    def loss_ppo(params, batch: SpinRollout, advs, returns):
-        obs = batch.obs.reshape((-1,) + batch.obs.shape[2:])
-        mask = batch.mask.reshape((-1,) + batch.mask.shape[2:])
-        actions = batch.actions.reshape(-1)
-        old_logp = batch.logprobs.reshape(-1)
-        advs = advs.reshape(-1)
-        returns = returns.reshape(-1)
+    def loss_ppo(params, obs, mask, actions, old_logp, advs, returns):
         logits, values = net.apply(params, obs, params_env.adj)
         logits = jnp.where(mask, logits, -1e9)
         logp_all = jax.nn.log_softmax(logits, axis=-1)
@@ -183,14 +181,43 @@ def train_spin_ppo(
         returns = advs + batch.values
         epochs = cfg.update_epochs if cfg.algo == "ppo" else 1
 
-        def epoch(carry, _):
+        # flatten [T, B] -> [T*B] once; updates walk shuffled minibatches
+        tb = batch.actions.shape[0] * batch.actions.shape[1]
+        mb = max(1, cfg.num_minibatches)
+        mb_size = tb // mb
+        flat_obs = batch.obs.reshape((tb,) + batch.obs.shape[2:])
+        flat_mask = batch.mask.reshape((tb,) + batch.mask.shape[2:])
+        flat_act = batch.actions.reshape(tb)
+        flat_logp = batch.logprobs.reshape(tb)
+        flat_adv = advs.reshape(tb)
+        flat_ret = returns.reshape(tb)
+
+        def epoch(carry, k_ep):
             params, opt_state = carry
-            loss, grads = jax.value_and_grad(loss_ppo)(params, batch, advs, returns)
-            updates, opt_state = optimizer.update(grads, opt_state, params)
-            return (optax.apply_updates(params, updates), opt_state), loss
+            perm = jax.random.permutation(k_ep, tb)[: mb * mb_size]
+            chunks = perm.reshape(mb, mb_size)
+
+            def mb_step(carry2, idx):
+                params, opt_state = carry2
+                loss, grads = jax.value_and_grad(loss_ppo)(
+                    params,
+                    flat_obs[idx],
+                    flat_mask[idx],
+                    flat_act[idx],
+                    flat_logp[idx],
+                    flat_adv[idx],
+                    flat_ret[idx],
+                )
+                updates, opt_state = optimizer.update(grads, opt_state, params)
+                return (optax.apply_updates(params, updates), opt_state), loss
+
+            (params, opt_state), losses = jax.lax.scan(
+                mb_step, (params, opt_state), chunks
+            )
+            return (params, opt_state), jnp.mean(losses)
 
         (params, opt_state), losses = jax.lax.scan(
-            epoch, (params, opt_state), None, length=epochs
+            epoch, (params, opt_state), jax.random.split(k_up, epochs)
         )
         return params, opt_state, jnp.mean(losses), best_cut
 

@@ -206,6 +206,9 @@ def main():
                             num_iters=40 if n <= 500 else 25,
                             features=32,
                             n_layers=2,
+                            # bound PPO-update activations: [T*B/mb, N, 64]
+                            # (whole-rollout updates OOM'd at N=400)
+                            num_minibatches=1 if n <= 300 else (8 if n <= 500 else 16),
                         )
                         t0 = time.time()
                         params, _ = train_spin_ppo(train_env, train_g, jcfg)
