@@ -191,3 +191,116 @@ def certified_bound(lap64: np.ndarray, u: np.ndarray, squarings: int) -> float:
     m = lap64 + np.diag(u)
     lam = certify_lambda_max(m, squarings)
     return (n / 4.0) * lam - float(u.sum()) / 4.0
+
+
+def maxcut_upper_bound_cell(
+    graphs,
+    cfg: SpectralBoundConfig = SpectralBoundConfig(),
+) -> list:
+    """Certified PR bounds for a whole same-size cell as ONE batched
+    program: the block power iteration runs vmapped over the stacked
+    [G, N, N] Laplacians (one device dispatch per optimizer iteration for
+    ALL instances instead of one per instance — the per-instance variant
+    is tunnel-latency-bound at ~3 dispatches/iter), the k x k host
+    Rayleigh-Ritz loops over instances (trivial), and the final
+    certification runs per instance in float64 on the host exactly as in
+    `maxcut_upper_bound`. Returns a list of certified bounds.
+
+    Reference counterpart: the per-instance Gurobi-QUBO dual bound runs
+    feeding the "obj bound" column (`gurobi.py:331-336`).
+    """
+    g_cnt = len(graphs)
+    n = graphs[0].num_nodes
+    k = min(cfg.block_size, n)
+    laps64 = [_laplacian(g) for g in graphs]
+    laps = jnp.asarray(np.stack(laps64), jnp.float32)
+    scales = np.array(
+        [float(np.abs(np.diag(l)).mean()) or 1.0 for l in laps64]
+    )
+    scale = jnp.asarray(scales, jnp.float32)
+
+    # Device phase A: block power iterations + the Gram/projection
+    # matrices for a host-side Cholesky-QR Rayleigh-Ritz. Only [k, k]
+    # matrices leave the device.
+    @jax.jit
+    def power_and_project(u, v_block, laps):
+        def one(u_g, v_g, lap_g, scale_g):
+            m = lap_g + jnp.diag(u_g)
+            diag = jnp.diag(m)
+            offsum = jnp.sum(jnp.abs(m), axis=1) - jnp.abs(diag)
+            shift = jnp.maximum(0.0, -jnp.min(diag - offsum)) + 1e-3 * scale_g
+
+            def body(v, _):
+                w = m @ v + shift * v
+                w = w / (jnp.linalg.norm(w, axis=0, keepdims=True) + 1e-30)
+                return w, None
+
+            v_g, _ = jax.lax.scan(body, v_g, None, length=cfg.power_iters)
+            mv = m @ v_g  # note: includes diag(u); shift NOT included
+            s = v_g.T @ v_g  # [k, k] Gram
+            t0 = v_g.T @ mv  # [k, k] projected operator
+            return v_g, s, t0
+
+        return jax.vmap(one)(u, v_block, laps, scale)
+
+    # Device phase B: apply the host-computed combination matrices —
+    # orthonormalize v (v @ c), form Ritz directions, take the smoothed
+    # subgradient step on u. p columns are sqrt(softmax)-weighted Ritz
+    # vectors so that rowsum((v p)^2) = sum_j w_j z_j^2.
+    @jax.jit
+    def apply_update(u, v_block, c, p, lr):
+        def one(u_g, v_g, c_g, p_g):
+            z_w = v_g @ p_g  # [n, k]
+            grad = (n / 4.0) * jnp.sum(z_w * z_w, axis=1) - 0.25
+            return u_g - lr * grad, v_g @ c_g
+
+        return jax.vmap(one)(u, v_block, c, p)
+
+    rng = np.random.default_rng(cfg.seed)
+    v_block = jnp.asarray(rng.normal(size=(g_cnt, n, k)), jnp.float32)
+    u = jnp.zeros((g_cnt, n), jnp.float32)
+    mus = scales * cfg.mu0 * 0.25
+    halve_every = max(1, cfg.opt_iters // (cfg.mu_halvings + 1))
+    eye = np.eye(k)
+
+    for i in range(cfg.opt_iters):
+        v_block, s_all, t_all = power_and_project(u, v_block, laps)
+        s_np = np.asarray(s_all, np.float64)
+        t_np = np.asarray(t_all, np.float64)
+        cs = np.empty((g_cnt, k, k))
+        ps = np.empty((g_cnt, k, k))
+        for g in range(g_cnt):
+            # Cholesky QR: v q_r = v c with c = chol(S)^-T (upper-tri solve)
+            s_g = s_np[g] + 1e-10 * np.trace(s_np[g]) / k * eye
+            try:
+                r = np.linalg.cholesky(s_g).T  # S = R^T R
+                c = np.linalg.solve(r, eye)  # R^-1 (v @ c orthonormal)
+            except np.linalg.LinAlgError:
+                # power collapse: re-randomize the block, keep u
+                c = eye.copy()
+            t = c.T @ t_np[g] @ c
+            lam, y = np.linalg.eigh((t + t.T) / 2.0)
+            w = np.exp((lam - lam[-1]) / mus[g])
+            w /= w.sum()
+            cs[g] = c
+            ps[g] = c @ (y * np.sqrt(w)[None, :])
+        lr = cfg.lr / np.sqrt(1.0 + i / 20.0)
+        u, v_block = apply_update(
+            u,
+            v_block,
+            jnp.asarray(cs, jnp.float32),
+            jnp.asarray(ps, jnp.float32),
+            jnp.float32(lr),
+        )
+        if (i + 1) % halve_every == 0:
+            mus *= 0.5
+
+    u_np = np.asarray(u, np.float64)
+    out = []
+    for g in range(g_cnt):
+        cert = certified_bound(laps64[g], u_np[g], cfg.certify_squarings)
+        cert0 = certified_bound(
+            laps64[g], np.zeros(n), cfg.certify_squarings
+        )
+        out.append(float(min(cert, cert0)))
+    return out

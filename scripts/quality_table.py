@@ -269,6 +269,27 @@ def main():
                         for i in todo:
                             v = eval_agent.evaluate_scan(params, get_graphs()[i])
                             append_row(args.out, dist, n, i, alg, v, dt)
+                    elif alg == "specb":
+                        from rlsolver_tpu.classical.spectral_bound import (
+                            SpectralBoundConfig,
+                            maxcut_upper_bound_cell,
+                        )
+
+                        iters = 4000 if n <= 300 else (8000 if n <= 600 else 12000)
+                        if n >= 2000:
+                            iters = 3000
+                        iters = int(os.environ.get("SPECB_ITERS", iters))
+                        block = int(os.environ.get("SPECB_BLOCK", 16))
+                        cfg = SpectralBoundConfig(
+                            opt_iters=iters, lr=4.0, block_size=block,
+                            mu_halvings=10, certify_squarings=12,
+                        )
+                        gs = [get_graphs()[i] for i in todo]
+                        t0 = time.time()
+                        vals = maxcut_upper_bound_cell(gs, cfg)
+                        dt = (time.time() - t0) / len(todo)
+                        for kk, i in enumerate(todo):
+                            append_row(args.out, dist, n, i, alg, vals[kk], dt)
                     elif alg == "isco":
                         from rlsolver_tpu.algos.isco import (
                             ISCOConfig,
