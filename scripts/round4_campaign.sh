@@ -67,6 +67,9 @@ case "$part" in
   # (skip readout + loss normalization); rows are append-only
   stage pignn_redo 3600 python -u scripts/quality_table.py \
     --algs pignn --redo pignn --sizes 100,200,300,400
+  # jumanji N>=400: part-1 OOM'd before the minibatched-PPO fix
+  stage jumanji_400up 7200 python -u scripts/quality_table.py \
+    --algs jumanji --sizes 400,500,600,700,800,900,1000
   stage l2a_fill 5400 python -u scripts/quality_table.py \
     --algs l2a --dists BA,PL --sizes 300,400,500,600,700,800,900,1000
   stage standing 7200 python -u scripts/standing_pass.py \
@@ -86,6 +89,16 @@ case "$part" in
     --algs specb --dists PL --sizes 700,800,900,1000
   stage specb_fill2 7200 python -u scripts/quality_table.py \
     --algs specb --dists BA,ER --sizes 700,800,900,1000,2000,3000
+  ;;
+5)
+  # bound-tightening redo at converged budgets (summarizer keeps the
+  # per-instance MIN of certified bounds, so appends only tighten)
+  SPECB_ITERS=20000 SPECB_BLOCK=32 \
+    stage specb_tighten 9000 python -u scripts/quality_table.py \
+    --algs specb --redo specb --dists BA --sizes 200,300,400,500,600,700
+  SPECB_ITERS=16000 SPECB_BLOCK=32 \
+    stage specb_tighten_erpl 9000 python -u scripts/quality_table.py \
+    --algs specb --redo specb --dists ER,PL --sizes 500,600,700
   ;;
 *) echo "unknown part $part"; exit 2 ;;
 esac
