@@ -78,9 +78,9 @@ case "$part" in
 3)
   stage iw_new 7200 python -u scripts/instance_wise.py \
     --insts G49like,G50like,G55like --algs bls,isco,mcpg,l2a --budget 300
-  stage iw_redo 9000 python -u scripts/instance_wise.py \
+  stage iw_redo 10800 python -u scripts/instance_wise.py \
     --insts G14like,G22like,G70like --algs bls,isco,mcpg,l2a \
-    --redo bls,l2a --budget 300
+    --redo bls,l2a --budget 450
   ;;
 4)
   stage largen 9000 python -u scripts/quality_table.py \
