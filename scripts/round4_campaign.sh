@@ -75,6 +75,12 @@ case "$part" in
   stage standing 7200 python -u scripts/standing_pass.py \
     --cells BA:500,BA:600,BA:700 --attempts 2
   ;;
+2b)
+  # ECO redo at reference-class training budget (24576 loop steps x 64
+  # envs ~ the reference's 1M single-env steps at N=200); append-only
+  stage eco_redo 9000 python -u scripts/quality_table.py \
+    --algs eco --redo eco
+  ;;
 3)
   stage iw_new 7200 python -u scripts/instance_wise.py \
     --insts G49like,G50like,G55like --algs bls,isco,mcpg,l2a --budget 300
