@@ -7,7 +7,13 @@ import sys
 
 
 def _load(name):
-    path = os.path.join(os.path.dirname(__file__), "..", "scripts", f"{name}.py")
+    scripts_dir = os.path.join(os.path.dirname(__file__), "..", "scripts")
+    # scripts import their sibling _bootstrap (sys.path/axon repair);
+    # when running as `python scripts/foo.py` the dir is on sys.path —
+    # mirror that here
+    if scripts_dir not in sys.path:
+        sys.path.insert(0, scripts_dir)
+    path = os.path.join(scripts_dir, f"{name}.py")
     spec = importlib.util.spec_from_file_location(name, path)
     mod = importlib.util.module_from_spec(spec)
     sys.modules[name] = mod
