@@ -90,6 +90,12 @@ class SpinSystemParams(NamedTuple):
 class SpinSystemState(NamedTuple):
     spins: jax.Array  # f32 [B, N] signed +-1
     gains: jax.Array  # f32 [B, N] flip gains of current state
+    # per-episode observation/reward scale: max flip gain AT THE RESET
+    # STATE (reference `spinsystem.py:196` recomputes it per reset; the
+    # all-ones-state max degree crushed BA observations ~5x — hub degree
+    # ~50 vs random-state max gain ~10 — and ECO-DQN failed to learn even
+    # the greedy gain ranking there)
+    max_local: jax.Array  # f32 [B]
     score: jax.Array  # f32 [B]
     init_score: jax.Array  # f32 [B]
     best_score: jax.Array  # f32 [B]
@@ -163,6 +169,7 @@ class SpinSystemEnv:
         else:
             spins = jnp.ones((b, n), jnp.float32)
         gains = self._gains_full(params, spins)
+        max_local = jnp.maximum(jnp.max(gains, axis=1), 1e-3)
         score = self._cut(params, spins)
         h1, h2 = self._state_hash(params, spins)
         hist_h1 = jnp.zeros((b, self.history_capacity), jnp.uint32).at[:, 0].set(h1)
@@ -170,6 +177,7 @@ class SpinSystemEnv:
         state = SpinSystemState(
             spins=spins,
             gains=gains,
+            max_local=max_local,
             score=score,
             init_score=score,
             best_score=score,
@@ -247,6 +255,7 @@ class SpinSystemEnv:
         new_state = SpinSystemState(
             spins=spins,
             gains=gains,
+            max_local=state.max_local,
             score=score,
             init_score=state.init_score,
             best_score=best_score,
@@ -271,8 +280,8 @@ class SpinSystemEnv:
             spin_obs = state.spins
         if cfg.num_observables == NUM_OBSERVABLES_S2V:
             return spin_obs[..., None]
-        max_r = params.max_local_reward
-        imm = state.gains / max_r
+        max_r = state.max_local  # [B] per-episode scale (reference parity)
+        imm = state.gains / max_r[:, None]
         dist_score = jnp.abs(state.score - state.best_score) / max_r
         dist_state = jnp.sum(state.best_spins != state.spins, axis=1).astype(jnp.float32)
         greedy_avail = 1.0 - jnp.sum(state.gains <= 0.0, axis=1) / n

@@ -25,7 +25,10 @@ def test_ppo_beats_random_on_ba64():
     on BA_64."""
     g = graph_from_name("BA_64_ID0")
     env = make_env(64, num_envs=8, max_steps=48)
-    cfg = SpinPPOConfig(num_iters=30, features=16, n_layers=2, seed=0)
+    # 60 iters: under per-episode observation scaling (round-4 spin_system
+    # change) the 30-iter margin at this micro-budget was within noise;
+    # at 60 the trained policy clears random by ~25% (171 vs 137)
+    cfg = SpinPPOConfig(num_iters=60, features=16, n_layers=2, seed=0)
     params, history = train_spin_ppo(env, g, cfg)
     random_cut = np.mean(
         [evaluate_spin_policy(env, g, seed=s) for s in range(3)]
