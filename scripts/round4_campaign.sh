@@ -77,9 +77,14 @@ case "$part" in
   ;;
 2b)
   # ECO redo at reference-class training budget (24576 loop steps x 64
-  # envs ~ the reference's 1M single-env steps at N=200); append-only
+  # envs ~ the reference's 1M single-env steps at N=200) under the fixed
+  # per-episode observation scale; append-only
   stage eco_redo 9000 python -u scripts/quality_table.py \
     --algs eco --redo eco
+  # jumanji small-N redo under the fixed observation scale + 100 iters
+  # (part-1 values sat below greedy at N=300)
+  stage jumanji_redo_small 5400 python -u scripts/quality_table.py \
+    --algs jumanji --redo jumanji --sizes 100,200,300
   ;;
 3)
   stage iw_new 7200 python -u scripts/instance_wise.py \
