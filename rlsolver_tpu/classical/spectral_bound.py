@@ -298,9 +298,8 @@ def maxcut_upper_bound_cell(
     u_np = np.asarray(u, np.float64)
     out = []
     for g in range(g_cnt):
-        cert = certified_bound(laps64[g], u_np[g], cfg.certify_squarings)
-        cert0 = certified_bound(
-            laps64[g], np.zeros(n), cfg.certify_squarings
-        )
-        out.append(float(min(cert, cert0)))
+        # certified for ANY u — no u=0 fallback here (it is looser whenever
+        # the optimization made progress, and the [N,N] float64 trace-power
+        # is the dominant host cost at N >= 2000)
+        out.append(certified_bound(laps64[g], u_np[g], cfg.certify_squarings))
     return out

@@ -295,7 +295,10 @@ def main():
                         block = int(os.environ.get("SPECB_BLOCK", 16))
                         cfg = SpectralBoundConfig(
                             opt_iters=iters, lr=4.0, block_size=block,
-                            mu_halvings=10, certify_squarings=12,
+                            mu_halvings=10,
+                            certify_squarings=int(
+                                os.environ.get("SPECB_CERT", 12)
+                            ),
                         )
                         gs = [get_graphs()[i] for i in todo]
                         t0 = time.time()

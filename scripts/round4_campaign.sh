@@ -89,9 +89,9 @@ case "$part" in
 3)
   stage iw_new 7200 python -u scripts/instance_wise.py \
     --insts G49like,G50like,G55like --algs bls,isco,mcpg,l2a --budget 300
-  stage iw_redo 10800 python -u scripts/instance_wise.py \
+  stage iw_redo 9000 python -u scripts/instance_wise.py \
     --insts G14like,G22like,G70like --algs bls,isco,mcpg,l2a \
-    --redo bls,l2a --budget 450
+    --redo bls,l2a --budget 300
   ;;
 4)
   stage largen 9000 python -u scripts/quality_table.py \
@@ -99,7 +99,12 @@ case "$part" in
   stage specb_fill 7200 python -u scripts/quality_table.py \
     --algs specb --dists PL --sizes 700,800,900,1000
   stage specb_fill2 7200 python -u scripts/quality_table.py \
-    --algs specb --dists BA,ER --sizes 700,800,900,1000,2000,3000
+    --algs specb --dists BA,ER --sizes 700,800,900,1000
+  # large-N bounds: lighter certification (n^(1/1024) ~ 0.8% slack) keeps
+  # the [N,N] float64 trace-power tractable at N=2000/3000
+  SPECB_CERT=10 SPECB_ITERS=3000 \
+    stage specb_largen 7200 python -u scripts/quality_table.py \
+    --algs specb --dists BA,ER --sizes 2000,3000
   ;;
 5)
   # bound-tightening redo at converged budgets (summarizer keeps the
