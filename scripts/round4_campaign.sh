@@ -81,10 +81,16 @@ case "$part" in
   # per-episode observation scale; append-only
   stage eco_redo 9000 python -u scripts/quality_table.py \
     --algs eco --redo eco
-  # jumanji small-N redo under the fixed observation scale + 100 iters
-  # (part-1 values sat below greedy at N=300)
-  stage jumanji_redo_small 5400 python -u scripts/quality_table.py \
-    --algs jumanji --redo jumanji --sizes 100,200,300
+  # jumanji redo under the fixed observation scale + 100/80 iters for
+  # every cell that ran with part-1 code (N<=300 trained under the old
+  # crushed observation scale; 600/700 additionally predate the fix and
+  # were skipped by the fill-only 400up stage)
+  stage jumanji_redo_small 7200 python -u scripts/quality_table.py \
+    --algs jumanji --redo jumanji --sizes 100,200,300,600,700
+  # pignn N>=500 was never reached (the 500up stage died on the BA_500
+  # isco worker crash before its pignn cells)
+  stage pignn_500up 5400 python -u scripts/quality_table.py \
+    --algs pignn --sizes 500,600,700,800,900,1000
   ;;
 3)
   stage iw_new 7200 python -u scripts/instance_wise.py \
