@@ -39,7 +39,7 @@ INSTANCES = {
     "G22like": (2000, 19990, 22, "gset_22"),
     "G49like": (3000, 6000, 0, "gset_22"),
     "G50like": (3000, 6000, 1, "gset_22"),
-    "G55like": (5000, 12498, 55, "gset_55"),
+    "G55like": (5000, 12468, 55, "gset_55"),
     "G70like": (10000, 9999, 70, "gset_70"),
 }
 
