@@ -76,10 +76,15 @@ case "$part" in
     --cells BA:500,BA:600,BA:700 --attempts 2
   ;;
 2b)
-  # ECO redo at reference-class training budget (24576 loop steps x 64
-  # envs ~ the reference's 1M single-env steps at N=200) under the fixed
-  # per-episode observation scale; append-only
-  stage eco_redo 9000 python -u scripts/quality_table.py \
+  # second symmetric standing pass: the round-4 l2a fill landed BA
+  # 800-1000 0.4-2.1 cut under MCPG (attempts=1 keeps wall-clock; still
+  # symmetric — both methods get the same extra attempt)
+  stage standing2 5400 python -u scripts/standing_pass.py \
+    --cells BA:800,BA:900,BA:1000 --attempts 1
+  # ECO redo at a reference-class training budget (16384 loop steps x 64
+  # envs, ~4x part-1 data) under the fixed per-episode observation scale
+  ECO_STEPS=16384 \
+    stage eco_redo 9000 python -u scripts/quality_table.py \
     --algs eco --redo eco
   # jumanji redo under the fixed observation scale + 100/80 iters for
   # every cell that ran with part-1 code (N<=300 trained under the old
