@@ -97,6 +97,11 @@ def reverse_ll(
     return jnp.sum(jnp.where(backwd_mask.astype(bool), ll, 0.0), axis=-1)
 
 
+# single lax.scan segments longer than this crash the axon TPU worker
+# ("kernel fault", bisected round 4: 1000-step chains die, 800 pass)
+MAX_SCAN_SEGMENT = 800
+
+
 # ------------------------------------------------------------------- sampler
 @dataclasses.dataclass
 class ISCOConfig:
@@ -168,23 +173,33 @@ class ISCOSampler:
         x_new = jnp.where(accept[:, None], y, x)
         return x_new, jnp.where(accept, e_y_raw, e_x_raw), jnp.exp(log_acc)
 
-    def run(self, key: jax.Array, data=None) -> Tuple[jax.Array, jax.Array]:
-        """Full annealed chain as one jitted scan. Returns
-        (best_x [B, N], best_energy [B])."""
+    def temperatures(self, total: int) -> jax.Array:
+        cfg = self.cfg
+        steps = jnp.arange(total)
+        temps = cfg.init_temperature - steps / total * (
+            cfg.init_temperature - cfg.final_temperature
+        )
+        return jnp.maximum(temps, 1e-6)
+
+    def init_carry(self, key: jax.Array, data=None):
         cfg = self.cfg
         b, n = cfg.batch_size, self.num_nodes
         key, k_init = jax.random.split(key)
         x0 = jax.random.bernoulli(k_init, 0.5, (b, n)).astype(jnp.float32)
+        mu0 = jnp.full((b,), cfg.mu_init)
+        return (x0, mu0, x0, self._energy(x0, data), key)
 
-        steps = jnp.arange(cfg.chain_length)
-        temps = cfg.init_temperature - steps / cfg.chain_length * (
-            cfg.init_temperature - cfg.final_temperature
-        )
-        temps = jnp.maximum(temps, 1e-6)
+    def run_segment(self, carry, temps: jax.Array, data=None):
+        """Scan a temperature segment; chainable (the carry threads x, mu,
+        incumbents and the RNG key). Axon gotcha: single scans longer than
+        ~800 steps crash the remote TPU worker outright (bisected round 4:
+        chain 1000 kills it at any N, chain 800 is fine) — long chains must
+        be python-looped over <= 800-step compiled segments."""
+        cfg = self.cfg
+        b, n = cfg.batch_size, self.num_nodes
 
-        def body(carry, inp):
+        def body(carry, temp):
             x, mu, best_x, best_e, key = carry
-            temp = inp
             key, k_pl, k_step = jax.random.split(key, 3)
             path_length = jnp.clip(
                 jax.random.poisson(k_pl, mu, (b,)), 1, n
@@ -196,10 +211,16 @@ class ISCOSampler:
             best_x = jnp.where(better[:, None], x, best_x)
             return (x, mu, best_x, best_e, key), None
 
-        mu0 = jnp.full((b,), cfg.mu_init)
-        init = (x0, mu0, x0, self._energy(x0, data), key)
-        (x, mu, best_x, best_e, _), _ = jax.lax.scan(body, init, temps)
-        return best_x, best_e
+        return jax.lax.scan(body, carry, temps)[0]
+
+    def run(self, key: jax.Array, data=None) -> Tuple[jax.Array, jax.Array]:
+        """Full annealed chain as one jitted scan. Returns
+        (best_x [B, N], best_energy [B]). For chains longer than ~800 use
+        segmented execution (see `run_segment`) — a single longer scan
+        crashes the axon TPU worker."""
+        carry = self.init_carry(key, data)
+        carry = self.run_segment(carry, self.temperatures(self.cfg.chain_length), data)
+        return carry[2], carry[3]
 
 
 # ------------------------------------------------------------ problem fronts
@@ -228,7 +249,19 @@ def solve_maxcut_isco(
 
     sampler = ISCOSampler(graph.num_nodes, energy, flip_delta, cfg)
     start = time.time()
-    run_jit = jax.jit(sampler.run)
+    # segment long chains: single scans > ~800 steps crash the axon worker
+    nseg = -(-cfg.chain_length // MAX_SCAN_SEGMENT)
+    seg_len = -(-cfg.chain_length // nseg)
+    temps = sampler.temperatures(nseg * seg_len).reshape(nseg, seg_len)
+    init_jit = jax.jit(sampler.init_carry)
+    seg_jit = jax.jit(sampler.run_segment)
+
+    def run_jit(key):
+        carry = init_jit(key)
+        for s in range(nseg):
+            carry = seg_jit(carry, temps[s])
+        return carry[2], carry[3]
+
     best_x, best_e = run_jit(jax.random.PRNGKey(cfg.seed))
     i = int(jnp.argmax(best_e))
     bits = np.asarray(best_x[i] > 0.5)
@@ -309,15 +342,27 @@ def solve_maxcut_isco_cell(
 
     sampler = ISCOSampler(n, energy, flip_delta, cfg)
 
-    def run_one(key, cg):
-        # rebind num_nodes as a STATIC python int: jit traces every pytree
-        # leaf, and segment_sum (sparse flip gains) needs a concrete
-        # num_segments
-        return sampler.run(key, cg._replace(num_nodes=n))
+    # rebind num_nodes as a STATIC python int in each wrapper: jit traces
+    # every pytree leaf, and segment_sum (sparse flip gains) needs a
+    # concrete num_segments. Long chains are python-looped over <= 800-step
+    # compiled segments (longer single scans crash the axon TPU worker —
+    # bisected round 4 on the BA_500 cell).
+    def init_one(key, cg):
+        return sampler.init_carry(key, cg._replace(num_nodes=n))
 
-    run_v = jax.jit(jax.vmap(run_one, in_axes=(0, axes)))
+    def seg_one(carry, temps, cg):
+        return sampler.run_segment(carry, temps, cg._replace(num_nodes=n))
+
+    nseg = -(-cfg.chain_length // MAX_SCAN_SEGMENT)
+    seg_len = -(-cfg.chain_length // nseg)
+    temps = sampler.temperatures(nseg * seg_len).reshape(nseg, seg_len)
+    init_v = jax.jit(jax.vmap(init_one, in_axes=(0, axes)))
+    seg_v = jax.jit(jax.vmap(seg_one, in_axes=(0, None, axes)))
     keys = jax.random.split(jax.random.PRNGKey(cfg.seed), len(graphs))
-    best_x, best_e = run_v(keys, stacked)  # [G, B, N], [G, B]
+    carry = init_v(keys, stacked)
+    for s in range(nseg):
+        carry = seg_v(carry, temps[s], stacked)
+    best_x, best_e = carry[2], carry[3]  # [G, B, N], [G, B]
     idx = jnp.argmax(best_e, axis=1)
     bits = jnp.take_along_axis(best_x, idx[:, None, None], axis=1)[:, 0] > 0.5
     vals = jnp.max(best_e, axis=1)
