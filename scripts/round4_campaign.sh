@@ -85,7 +85,9 @@ case "$part" in
   stage pignn_500up 5400 python -u scripts/quality_table.py \
     --algs pignn --sizes 500,600,700,800,900,1000
   # jumanji redo under the fixed observation scale + 100/80 iters for
-  # every cell that ran with part-1 code
+  # every cell that ran with part-1 code (N<=300 trained under the old
+  # crushed observation scale; 600/700 additionally predate the fix and
+  # were skipped by the fill-only 400up stage)
   stage jumanji_redo_small 7200 python -u scripts/quality_table.py \
     --algs jumanji --redo jumanji --sizes 100,200,300,600,700
   # ECO redo at a reference-class training budget (16384 loop steps x 64
@@ -101,88 +103,6 @@ case "$part" in
   stage standing_lite 10800 python -u scripts/standing_pass.py \
     --cells BA:500,BA:600,BA:700,BA:800,BA:900,BA:1000 \
     --attempts 1 --iters 40
-  ;;
-3)
-#   part4: large-N rows + spectral-bound completion (VERDICT #4/#5)
-# Usage: bash scripts/round4_campaign.sh <part>
-set -u
-cd /root/repo || exit 1
-export PYTHONPATH=/root/.axon_site:/root/repo
-STATUS=results_quality/campaign_status.log
-
-stage() {
-  local name=$1 tmo=$2; shift 2
-  local log="results_quality/r4_${name}.log"
-  local attempt rc t0 t1 verdict
-  for attempt in 1 2; do  # one fresh-process retry (TPU worker crashes
-                          # kill a client's backend; CSVs are resumable)
-    t0=$(date +%s)
-    echo "[$(date -u +%FT%TZ)] START $name attempt $attempt (timeout ${tmo}s)" >> "$STATUS"
-    timeout "$tmo" "$@" >> "$log" 2>&1
-    rc=$?; t1=$(date +%s)
-    verdict=PASS
-    if [ $rc -eq 124 ]; then verdict=TIMEOUT; elif [ $rc -ne 0 ]; then verdict=FAIL; fi
-    echo "[$(date -u +%FT%TZ)] $verdict $name attempt $attempt exit=$rc dur=$((t1-t0))s log=$log" >> "$STATUS"
-    if [ $verdict = FAIL ]; then
-      echo "--- last lines of $log:" >> "$STATUS"
-      tail -3 "$log" >> "$STATUS"
-      sleep 20
-      continue
-    fi
-    break
-  done
-  return $rc
-}
-
-part=${1:?usage: round4_campaign.sh <part>}
-case "$part" in
-1)
-  stage preflight 300 python -u -c \
-    "import rlsolver_tpu, jax; print('devices:', jax.devices())" \
-    || { echo "PREFLIGHT FAILED - queue aborted" | tee -a "$STATUS"; exit 1; }
-  stage new_isco_pignn 7200 python -u scripts/quality_table.py \
-    --algs isco,pignn
-  stage new_s2v_eco_jumanji 10800 python -u scripts/quality_table.py \
-    --algs s2v,eco,jumanji
-  ;;
-2)
-  # N>=500 isco/pignn: lost in part 1 to a TPU worker crash at BA_500
-  # (resumable fill; pignn cells here use the fixed over-smoothing code)
-  stage isco_pignn_500up 7200 python -u scripts/quality_table.py \
-    --algs isco,pignn --sizes 500,600,700,800,900,1000
-  # pignn redo at N<=400: those cells ran before the over-smoothing fix
-  # (skip readout + loss normalization); rows are append-only
-  stage pignn_redo 3600 python -u scripts/quality_table.py \
-    --algs pignn --redo pignn --sizes 100,200,300,400
-  # jumanji N>=400: part-1 OOM'd before the minibatched-PPO fix
-  stage jumanji_400up 7200 python -u scripts/quality_table.py \
-    --algs jumanji --sizes 400,500,600,700,800,900,1000
-  stage l2a_fill 5400 python -u scripts/quality_table.py \
-    --algs l2a --dists BA,PL --sizes 300,400,500,600,700,800,900,1000
-  stage standing 7200 python -u scripts/standing_pass.py \
-    --cells BA:500,BA:600,BA:700 --attempts 2
-  ;;
-2b)
-  # second symmetric standing pass: the round-4 l2a fill landed BA
-  # 800-1000 0.4-2.1 cut under MCPG (attempts=1 keeps wall-clock; still
-  # symmetric — both methods get the same extra attempt)
-  stage standing2 5400 python -u scripts/standing_pass.py \
-    --cells BA:800,BA:900,BA:1000 --attempts 1
-  # ECO redo at a reference-class training budget (16384 loop steps x 64
-  # envs, ~4x part-1 data) under the fixed per-episode observation scale
-  ECO_STEPS=16384 \
-    stage eco_redo 9000 python -u scripts/quality_table.py \
-    --algs eco --redo eco
-  # jumanji redo under the fixed observation scale + 100/80 iters for
-  # every cell that ran with part-1 code (N<=300 trained under the old
-  # crushed observation scale; 600/700 additionally predate the fix and
-  # were skipped by the fill-only 400up stage)
-  stage jumanji_redo_small 7200 python -u scripts/quality_table.py \
-    --algs jumanji --redo jumanji --sizes 100,200,300,600,700
-  # pignn N>=500 was never reached (the 500up stage died on the BA_500
-  # isco worker crash before its pignn cells)
-  stage pignn_500up 5400 python -u scripts/quality_table.py \
-    --algs pignn --sizes 500,600,700,800,900,1000
   ;;
 3)
   stage iw_new 7200 python -u scripts/instance_wise.py \
