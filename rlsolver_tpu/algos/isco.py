@@ -97,9 +97,18 @@ def reverse_ll(
     return jnp.sum(jnp.where(backwd_mask.astype(bool), ll, 0.0), axis=-1)
 
 
-# single lax.scan segments longer than this crash the axon TPU worker
-# ("kernel fault", bisected round 4: 1000-step chains die, 800 pass)
+# single lax.scan segments that are too long crash the axon TPU worker
+# ("kernel fault"). Round-4 bisection on 10-graph x 256-chain cells:
+#   N=500 x 1000 steps  CRASH      N=500 x 800  PASS
+#   N=700 x  700 steps  CRASH      N=600 x 600  PASS
+# i.e. the boundary tracks N * segment_steps (~between 3.6e5 and 4.9e5),
+# not segment length alone. Budget 3.2e5 keeps a safety margin.
 MAX_SCAN_SEGMENT = 800
+SCAN_WORK_BUDGET = 320_000
+
+
+def _segment_cap(n: int) -> int:
+    return max(32, min(MAX_SCAN_SEGMENT, SCAN_WORK_BUDGET // max(1, n)))
 
 
 # ------------------------------------------------------------------- sampler
@@ -249,8 +258,8 @@ def solve_maxcut_isco(
 
     sampler = ISCOSampler(graph.num_nodes, energy, flip_delta, cfg)
     start = time.time()
-    # segment long chains: single scans > ~800 steps crash the axon worker
-    nseg = -(-cfg.chain_length // MAX_SCAN_SEGMENT)
+    # segment long chains: oversized single scans crash the axon worker
+    nseg = -(-cfg.chain_length // _segment_cap(graph.num_nodes))
     seg_len = -(-cfg.chain_length // nseg)
     temps = sampler.temperatures(nseg * seg_len).reshape(nseg, seg_len)
     init_jit = jax.jit(sampler.init_carry)
@@ -353,7 +362,7 @@ def solve_maxcut_isco_cell(
     def seg_one(carry, temps, cg):
         return sampler.run_segment(carry, temps, cg._replace(num_nodes=n))
 
-    nseg = -(-cfg.chain_length // MAX_SCAN_SEGMENT)
+    nseg = -(-cfg.chain_length // _segment_cap(n))
     seg_len = -(-cfg.chain_length // nseg)
     temps = sampler.temperatures(nseg * seg_len).reshape(nseg, seg_len)
     init_v = jax.jit(jax.vmap(init_one, in_axes=(0, axes)))

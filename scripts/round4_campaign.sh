@@ -136,9 +136,12 @@ case "$part" in
   ;;
 6)
   # end-of-round value-dense cut of parts 2c/3/4, sized to the remaining
-  # wall-clock: standing on the three narrowest cells, the G49/G50
-  # plateau rows (toroidal grids are bipartite — the reference's 6000 /
-  # 5880 saturation analogue), BA/ER large-N rows, and the PL bound fill
+  # wall-clock: the isco cells lost to the N-scaled scan-work crash, then
+  # standing on the three narrowest cells, the G49/G50 plateau rows
+  # (toroidal grids are bipartite — the reference's 6000 / 5880
+  # saturation analogue), BA/ER large-N rows, and the PL bound fill
+  stage isco_700up 5400 python -u scripts/quality_table.py \
+    --algs isco --sizes 700,800,900,1000
   stage standing_3 5400 python -u scripts/standing_pass.py \
     --cells BA:500,BA:600,BA:700 --attempts 1 --iters 40
   stage iw_plateau 3600 python -u scripts/instance_wise.py \
