@@ -314,7 +314,11 @@ def main():
 
                         gs = [get_graphs()[i] for i in todo]
                         cfg = ISCOConfig(
-                            batch_size=256,
+                            # dense-energy cost scales ~ chains x N^2 x 2N:
+                            # at N >= 900 the 256-chain cell runs 20-30 min
+                            batch_size=int(os.environ.get(
+                                "ISCO_BATCH", 256 if n <= 800 else 96
+                            )),
                             chain_length=max(600, 2 * n),
                             seed=0,
                         )

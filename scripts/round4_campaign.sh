@@ -134,6 +134,27 @@ case "$part" in
     stage specb_tighten_erpl 9000 python -u scripts/quality_table.py \
     --algs specb --redo specb --dists ER,PL --sizes 500,600,700
   ;;
+6b)
+  # remainder of part 6 after the N>=900 isco batch rebalance (96 chains;
+  # 256-chain cells ran 20-30 min each at dense-energy N^3 cost)
+  stage isco_9001000 5400 python -u scripts/quality_table.py \
+    --algs isco --sizes 900,1000
+  stage standing_3 5400 python -u scripts/standing_pass.py \
+    --cells BA:500,BA:600,BA:700 --attempts 1 --iters 40
+  stage iw_plateau 3600 python -u scripts/instance_wise.py \
+    --insts G49like,G50like --algs bls,mcpg,isco --budget 150
+  stage largen_2000 5400 python -u scripts/quality_table.py \
+    --algs greedy,sa,ga,rw,mcpg --dists BA,ER --sizes 2000
+  stage specb_pl 5400 python -u scripts/quality_table.py \
+    --algs specb --dists PL --sizes 700,800,900,1000
+  stage largen_3000 5400 python -u scripts/quality_table.py \
+    --algs greedy,sa,ga,rw,mcpg --dists BA,ER --sizes 3000
+  stage iw_55 3600 python -u scripts/instance_wise.py \
+    --insts G55like --algs bls,mcpg,isco --budget 150
+  SPECB_CERT=10 SPECB_ITERS=3000 \
+    stage specb_largen 7200 python -u scripts/quality_table.py \
+    --algs specb --dists BA,ER --sizes 2000,3000
+  ;;
 6)
   # end-of-round value-dense cut of parts 2c/3/4, sized to the remaining
   # wall-clock: the isco cells lost to the N-scaled scan-work crash, then
