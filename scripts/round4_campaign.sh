@@ -134,6 +134,23 @@ case "$part" in
     stage specb_tighten_erpl 9000 python -u scripts/quality_table.py \
     --algs specb --redo specb --dists ER,PL --sizes 500,600,700
   ;;
+6c)
+  # final stages after standing_3 was cut (its symmetric mcpg attempt ran
+  # ~7x the estimate; the l2a attempt is recorded in boost_log.csv)
+  stage iw_plateau 3600 python -u scripts/instance_wise.py \
+    --insts G49like,G50like --algs bls,mcpg,isco --budget 150
+  stage largen_2000 5400 python -u scripts/quality_table.py \
+    --algs greedy,sa,ga,rw,mcpg --dists BA,ER --sizes 2000
+  stage specb_pl 5400 python -u scripts/quality_table.py \
+    --algs specb --dists PL --sizes 700,800,900,1000
+  stage largen_3000 5400 python -u scripts/quality_table.py \
+    --algs greedy,sa,ga,rw,mcpg --dists BA,ER --sizes 3000
+  stage iw_55 3600 python -u scripts/instance_wise.py \
+    --insts G55like --algs bls,mcpg,isco --budget 150
+  SPECB_CERT=10 SPECB_ITERS=3000 \
+    stage specb_largen 7200 python -u scripts/quality_table.py \
+    --algs specb --dists BA,ER --sizes 2000,3000
+  ;;
 6b)
   # remainder of part 6 after the N>=900 isco batch rebalance (96 chains;
   # 256-chain cells ran 20-30 min each at dense-energy N^3 cost)
