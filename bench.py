@@ -106,11 +106,22 @@ def pattern1_peco(
     for num_envs in candidates:
         try:
             rate = time_block(build(num_envs), blocks=4) * num_envs
-        except Exception:  # OOM at this size
+        except Exception as e:  # OOM at this size
+            # a crashed axon worker permanently kills this client's backend;
+            # every later candidate would fail in ~0s and look like OOM
+            # (round-4 advisor finding) — abort loudly instead
+            if "UNAVAILABLE" in repr(e) or "crashed" in repr(e):
+                raise RuntimeError(
+                    f"TPU backend unavailable during autotune: {e!r}"
+                ) from e
             rate = 0.0
         sweep[num_envs] = round(rate, 1)
         if rate > best_rate:
             best_envs, best_rate = num_envs, rate
+    if best_envs is None:
+        raise RuntimeError(
+            f"pattern1 autotune: every env-count candidate failed ({sweep})"
+        )
 
     full = build(best_envs)
     env, pe, params, state, obs, _ = full

@@ -44,6 +44,10 @@ class ReplayBuffer(NamedTuple):
     reward: jax.Array  # [cap] f32
     next_obs: jax.Array  # [cap, N, obs]
     done: jax.Array  # [cap] bool
+    gidx: jax.Array  # [cap] int32, which training instance the transition
+    # came from (multi-graph distribution training; the reference stores
+    # the adjacency inside each buffered observation, `mpnn.py:53-55` —
+    # here one index replaces an [N, N] copy per transition)
     ptr: jax.Array  # int32, next write slot
     size: jax.Array  # int32, filled entries
 
@@ -55,6 +59,7 @@ class ReplayBuffer(NamedTuple):
             reward=jnp.zeros((capacity,), jnp.float32),
             next_obs=jnp.zeros((capacity, num_nodes, num_obs), jnp.float32),
             done=jnp.zeros((capacity,), bool),
+            gidx=jnp.zeros((capacity,), jnp.int32),
             ptr=jnp.int32(0),
             size=jnp.int32(0),
         )
@@ -64,17 +69,24 @@ class ReplayBuffer(NamedTuple):
         return self.obs.shape[0]
 
 
-def buffer_add(buf: ReplayBuffer, obs, action, reward, next_obs, done) -> ReplayBuffer:
+def buffer_add(
+    buf: ReplayBuffer, obs, action, reward, next_obs, done, gidx=None
+) -> ReplayBuffer:
     """Append a batch of transitions (batch size must divide capacity)."""
     b = obs.shape[0]
     cap = buf.obs.shape[0]
     start = buf.ptr  # multiple of b by construction
+    if gidx is None:
+        gidx = jnp.zeros((b,), jnp.int32)
+    else:
+        gidx = jnp.broadcast_to(jnp.asarray(gidx, jnp.int32), (b,))
     return ReplayBuffer(
         obs=jax.lax.dynamic_update_slice(buf.obs, obs, (start, 0, 0)),
         action=jax.lax.dynamic_update_slice(buf.action, action.astype(jnp.int32), (start,)),
         reward=jax.lax.dynamic_update_slice(buf.reward, reward, (start,)),
         next_obs=jax.lax.dynamic_update_slice(buf.next_obs, next_obs, (start, 0, 0)),
         done=jax.lax.dynamic_update_slice(buf.done, done, (start,)),
+        gidx=jax.lax.dynamic_update_slice(buf.gidx, gidx, (start,)),
         ptr=(buf.ptr + b) % cap,
         size=jnp.minimum(buf.size + b, cap),
     )
@@ -88,6 +100,7 @@ def buffer_sample(buf: ReplayBuffer, key: jax.Array, batch_size: int):
         buf.reward[idx],
         buf.next_obs[idx],
         buf.done[idx],
+        buf.gidx[idx],
     )
 
 
@@ -106,6 +119,9 @@ class DQNConfig:
     eps_decay_steps: int = 10_000
     learning_starts: int = 512  # transitions before training
     seed: int = 0
+    # MPNN compute dtype — jnp.bfloat16 is the reference's use_tensor_core
+    # fp16 path (`networks/mpnn.py:55-58`) on the MXU
+    dtype: jnp.dtype = jnp.float32
 
 
 class DQNAgent:
@@ -114,7 +130,9 @@ class DQNAgent:
     def __init__(self, env: SpinSystemEnv, cfg: DQNConfig = DQNConfig()):
         self.env = env
         self.cfg = cfg
-        self.model = MPNN(features=cfg.features, n_layers=cfg.n_layers)
+        self.model = MPNN(
+            features=cfg.features, n_layers=cfg.n_layers, dtype=cfg.dtype
+        )
         self.optimizer = optax.adam(cfg.lr)
         n = env.num_nodes
         num_obs = env.config.num_observables
@@ -132,7 +150,9 @@ class DQNAgent:
             return jnp.where(explore, random_a, greedy)
 
         def train_step(params, target_params, opt_state, batch, adj):
-            obs, action, reward, next_obs, done = batch
+            # adj: [N, N] shared, or [B, N, N] per-sample (multi-graph
+            # replay — each transition evaluated against its own instance)
+            obs, action, reward, next_obs, done = batch[:5]
 
             def loss_fn(p):
                 q = self.model.apply(p, obs, adj)
@@ -255,15 +275,32 @@ class DQNAgent:
         return params, history
 
     # -------------------------------------------------- unified-runtime path
-    def _build_loop_step(self, graph: Graph):
+    def _build_loop_step(self, graph):
         """The whole act/step/replay/train/target-sync/episode-reset cycle
         as ONE jittable `step_fn(state) -> (state, metrics)` over a
         resumable state pytree, plus its initial state. Shared by
         `train_runner` (TrainLoop host loop) and `train_scan` (scan-chunked
-        tunnel-friendly trainer)."""
+        tunnel-friendly trainer).
+
+        `graph` may be a single Graph (fixed-graph SingleGraphGenerator
+        mode) or a LIST of same-size Graphs: the reference's
+        RandomGraphGenerator distribution training (`train_ECO.py:24-31`,
+        a fresh random graph every episode) — instances are stacked on a
+        leading axis and the loop rotates to the next one at each episode
+        boundary, so the whole multi-graph run stays one compiled program."""
         cfg = self.cfg
         env = self.env
-        params_env = env.params_from_graph(graph)
+        graphs = list(graph) if isinstance(graph, (list, tuple)) else [graph]
+        num_graphs = len(graphs)
+        stacked = jax.tree.map(
+            lambda *xs: jnp.stack(xs),
+            *[env.params_from_graph(g, hash_seed=i) for i, g in enumerate(graphs)],
+        )
+
+        def pe_at(idx):
+            return jax.tree.map(lambda x: x[idx], stacked)
+
+        params_env = pe_at(0)
 
         class DQNLoopState(NamedTuple):
             params: dict
@@ -276,10 +313,12 @@ class DQNAgent:
             step_idx: jax.Array  # int32
             train_steps: jax.Array  # int32
             best_cut: jax.Array  # f32 running best over episodes
+            graph_idx: jax.Array  # int32, current training instance
 
         target_sync = max(1, cfg.target_update_frequency // cfg.update_frequency)
 
         def step_fn(state: DQNLoopState):
+            params_env = pe_at(state.graph_idx)
             key, k_act, k_sample, k_reset = jax.random.split(state.key, 4)
             frac = jnp.minimum(1.0, state.step_idx / cfg.eps_decay_steps)
             eps = cfg.eps_start + frac * (cfg.eps_end - cfg.eps_start)
@@ -290,7 +329,10 @@ class DQNAgent:
             env_state, next_obs, rew, done = env.step(
                 params_env, state.env_state, actions
             )
-            buf = buffer_add(state.buf, state.obs, actions, rew, next_obs, done)
+            buf = buffer_add(
+                state.buf, state.obs, actions, rew, next_obs, done,
+                gidx=state.graph_idx,
+            )
 
             do_train = jnp.logical_and(
                 buf.size >= cfg.learning_starts,
@@ -300,8 +342,12 @@ class DQNAgent:
             def train_branch(args):
                 params, target_params, opt_state, train_steps = args
                 batch = buffer_sample(buf, k_sample, cfg.batch_size)
+                if num_graphs > 1:
+                    adj_b = stacked.adj[batch[5]]  # [batch, N, N] per sample
+                else:
+                    adj_b = params_env.adj
                 params, opt_state, loss = self._train_step(
-                    params, target_params, opt_state, batch, params_env.adj
+                    params, target_params, opt_state, batch[:5], adj_b
                 )
                 train_steps = train_steps + 1
                 target_params = jax.tree.map(
@@ -326,9 +372,14 @@ class DQNAgent:
             best_cut = jnp.maximum(
                 state.best_cut, jnp.max(env_state.best_score)
             )
-            # episode boundary: fixed-graph reset (SingleGraphGenerator mode)
-            reset_state, reset_obs = env.reset(params_env, k_reset)
+            # episode boundary: rotate to the next training instance
+            # (single-graph mode: num_graphs == 1, so this is a fixed-graph
+            # reset — the reference's SingleGraphGenerator)
             ep_done = done[0]
+            next_gidx = jnp.where(
+                ep_done, (state.graph_idx + 1) % num_graphs, state.graph_idx
+            )
+            reset_state, reset_obs = env.reset(pe_at(next_gidx), k_reset)
             env_state = jax.tree.map(
                 lambda r, c: jnp.where(ep_done, r, c), reset_state, env_state
             )
@@ -338,6 +389,7 @@ class DQNAgent:
                 DQNLoopState(
                     params, target_params, opt_state, buf, env_state, obs,
                     key, state.step_idx + 1, train_steps, best_cut,
+                    next_gidx,
                 ),
                 metrics,
             )
@@ -359,6 +411,7 @@ class DQNAgent:
             step_idx=jnp.int32(0),
             train_steps=jnp.int32(0),
             best_cut=jnp.float32(-jnp.inf),
+            graph_idx=jnp.int32(0),
         )
         return step_fn, state
 
@@ -415,6 +468,59 @@ class DQNAgent:
             state, best = chunk(state)
         best_cut = float(best)
         return state.params, best_cut, state
+
+    def train_scan_select(
+        self,
+        graphs,
+        num_steps: int,
+        val_graphs: list,
+        num_segments: int = 16,
+        scan_chunk: int = 256,
+        verbose: bool = False,
+    ):
+        """Reference-protocol distribution trainer: `graphs` is the rotating
+        training-instance pool (fresh graph per episode — the reference's
+        RandomGraphGenerator), training runs in `num_segments` segments, and
+        after each segment the current params are scored by greedy rollout
+        on `val_graphs`; the best-scoring checkpoint is returned
+        (`ECO_S2V/train_and_inference/select_best_neural_network.py:31` over
+        ValidationGraphGenerator instances). Segmented dispatch also keeps
+        individual device programs short (axon long-scan safety).
+
+        Returns (best_params, history) with history = list of
+        (cumulative_steps, mean_val_cut)."""
+        step_fn, state = self._build_loop_step(graphs)
+
+        @jax.jit
+        def chunk(state):
+            def body(s, _):
+                s, m = step_fn(s)
+                return s, m["best_cut"]
+
+            state, best = jax.lax.scan(body, state, None, length=scan_chunk)
+            return state, best[-1]
+
+        seg_chunks = max(1, num_steps // (num_segments * scan_chunk))
+        best_score, best_params = -np.inf, state.params
+        history = []
+        for seg in range(num_segments):
+            for _ in range(seg_chunks):
+                state, _ = chunk(state)
+            score = float(
+                np.mean([self.evaluate_scan(state.params, g) for g in val_graphs])
+            )
+            steps_done = (seg + 1) * seg_chunks * scan_chunk
+            history.append((steps_done, score))
+            if score > best_score:
+                best_score, best_params = score, state.params
+            if verbose:
+                print(
+                    f"  segment {seg + 1}/{num_segments} "
+                    f"({steps_done} loop steps): val cut {score:.1f}"
+                    + (" *" if score == best_score else ""),
+                    flush=True,
+                )
+        return best_params, history
 
     # ------------------------------------------------------------- inference
     def evaluate(

@@ -269,6 +269,7 @@ def maxcut_upper_bound_cell(
         t_np = np.asarray(t_all, np.float64)
         cs = np.empty((g_cnt, k, k))
         ps = np.empty((g_cnt, k, k))
+        collapsed = []
         for g in range(g_cnt):
             # Cholesky QR: v q_r = v c with c = chol(S)^-T (upper-tri solve)
             s_g = s_np[g] + 1e-10 * np.trace(s_np[g]) / k * eye
@@ -276,8 +277,12 @@ def maxcut_upper_bound_cell(
                 r = np.linalg.cholesky(s_g).T  # S = R^T R
                 c = np.linalg.solve(r, eye)  # R^-1 (v @ c orthonormal)
             except np.linalg.LinAlgError:
-                # power collapse: re-randomize the block, keep u
+                # power collapse: fall back to the raw (non-orthonormal)
+                # block for this iteration and queue a fresh random block
+                # below so the Rayleigh-Ritz basis recovers next iteration
+                # (certification soundness never depends on this step)
                 c = eye.copy()
+                collapsed.append(g)
             t = c.T @ t_np[g] @ c
             lam, y = np.linalg.eigh((t + t.T) / 2.0)
             w = np.exp((lam - lam[-1]) / mus[g])
@@ -285,6 +290,11 @@ def maxcut_upper_bound_cell(
             cs[g] = c
             ps[g] = c @ (y * np.sqrt(w)[None, :])
         lr = cfg.lr / np.sqrt(1.0 + i / 20.0)
+        if collapsed:  # re-randomize collapsed blocks, keep u
+            fresh = rng.normal(size=(len(collapsed), n, k))
+            v_block = v_block.at[np.asarray(collapsed)].set(
+                jnp.asarray(fresh, jnp.float32)
+            )
         u, v_block = apply_update(
             u,
             v_block,

@@ -91,10 +91,13 @@ class SpinSystemState(NamedTuple):
     spins: jax.Array  # f32 [B, N] signed +-1
     gains: jax.Array  # f32 [B, N] flip gains of current state
     # per-episode observation/reward scale: max flip gain AT THE RESET
-    # STATE (reference `spinsystem.py:196` recomputes it per reset; the
-    # all-ones-state max degree crushed BA observations ~5x — hub degree
-    # ~50 vs random-state max gain ~10 — and ECO-DQN failed to learn even
-    # the greedy gain ranking there)
+    # STATE. DELIBERATE DEVIATION from the reference: `spinsystem.py:196`
+    # recomputes max_local_reward_available from the ALL-ONES state
+    # (spinsOne) on every reset, i.e. the max weighted degree — which on BA
+    # graphs crushed observations ~5x (hub degree ~50 vs random-reset max
+    # gain ~10) and ECO-DQN failed to learn even the greedy gain ranking.
+    # Scaling by the actual reset state's max gain keeps obs O(1) per
+    # episode; not a reference-parity claim.
     max_local: jax.Array  # f32 [B]
     score: jax.Array  # f32 [B]
     init_score: jax.Array  # f32 [B]

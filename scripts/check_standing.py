@@ -21,7 +21,9 @@ def main():
     cells = collections.defaultdict(lambda: collections.defaultdict(dict))
     for r in csv.reader(open(IN)):
         if r and r[0] != "dist":
-            cells[(r[0], int(r[1]))][r[3]][int(r[2])] = float(r[4])
+            d = cells[(r[0], int(r[1]))][r[3]]
+            g = int(r[2])
+            d[g] = max(d.get(g, float("-inf")), float(r[4]))  # best-row-wins
     bad = incomplete = 0
     for (dist, n) in sorted(cells, key=lambda k: (k[0], k[1])):
         algs = cells[(dist, n)]

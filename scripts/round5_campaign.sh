@@ -1,0 +1,93 @@
+#!/bin/bash
+# Round-5 fail-loud TPU campaign queue (VERDICT round-4 "Next round" items).
+#
+# Same harness contract as round4_campaign.sh: every stage gets a
+# timestamped PASS/FAIL/TIMEOUT line in results_quality/campaign_status.log,
+# append-mode per-stage logs, one fresh-process retry (a crashed axon TPU
+# worker permanently kills the client's backend; scripts exit 17 on
+# UNAVAILABLE so the retry resumes from the append-only CSVs).
+#
+# Parts (run ONE at a time — the tunnel chip's HBM is shared and a second
+# client can crash the remote worker, CLAUDE.md):
+#   1: bound-column completion (VERDICT #3) + jumanji BA_900 redo (#9)
+#   2: ECO-DQN reference protocol — per-distribution training (#1)
+#   3: flagship closing pass on the 6 L2A<MCPG BA cells (#2)
+#   4: instance-wise completion — G55like + ISCO columns + redos (#4)
+#   5: large-N completion — N=3000 rows, L2A+bound at 2000 (#5)
+# Usage: bash scripts/round5_campaign.sh <part>
+set -u
+cd /root/repo || exit 1
+export PYTHONPATH=/root/.axon_site:/root/repo
+STATUS=results_quality/campaign_status.log
+
+stage() {
+  local name=$1 tmo=$2; shift 2
+  local log="results_quality/r5_${name}.log"
+  local attempt rc t0 t1 verdict
+  for attempt in 1 2; do
+    t0=$(date +%s)
+    echo "[$(date -u +%FT%TZ)] START $name attempt $attempt (timeout ${tmo}s)" >> "$STATUS"
+    timeout "$tmo" "$@" >> "$log" 2>&1
+    rc=$?; t1=$(date +%s)
+    verdict=PASS
+    if [ $rc -eq 124 ]; then verdict=TIMEOUT; elif [ $rc -ne 0 ]; then verdict=FAIL; fi
+    echo "[$(date -u +%FT%TZ)] $verdict $name attempt $attempt exit=$rc dur=$((t1-t0))s log=$log" >> "$STATUS"
+    if [ $verdict = FAIL ]; then
+      echo "--- last lines of $log:" >> "$STATUS"
+      tail -3 "$log" >> "$STATUS"
+      sleep 20
+      continue
+    fi
+    break
+  done
+  return $rc
+}
+
+part=${1:?usage: round5_campaign.sh <part>}
+case "$part" in
+1)
+  stage preflight 300 python -u -c \
+    "import rlsolver_tpu, jax; print('devices:', jax.devices())" \
+    || { echo "PREFLIGHT FAILED - queue aborted" | tee -a "$STATUS"; exit 1; }
+  # certified spectral bound for the last +21-44% MILP-dual cells
+  stage specb_ba 5400 python -u scripts/quality_table.py \
+    --algs specb --dists BA --sizes 800,900,1000
+  stage specb_er 7200 python -u scripts/quality_table.py \
+    --algs specb --dists ER --sizes 700,800,900,1000
+  # jumanji BA_900 anomaly redo (2551.4 breaks the column trend by ~90)
+  JUMANJI_ITERS=120 stage jumanji_ba900 3600 python -u scripts/quality_table.py \
+    --algs jumanji --redo jumanji --dists BA --sizes 900
+  ;;
+2)
+  # ECO-DQN at the reference protocol: ONE network per distribution,
+  # trained at N=200 on a fresh random graph per episode (reference
+  # RandomGraphGenerator + NUM_STEPS=1M env steps, ECO_S2V/config.py:75-77),
+  # validation-selected checkpoints, then inference across all table sizes.
+  stage eco_dist 14400 python -u scripts/eco_distribution.py
+  ;;
+3)
+  # symmetric deep-budget closing pass on the violating flagship cells
+  stage standing_deep 14400 python -u scripts/standing_pass.py \
+    --cells BA:900,BA:800,BA:600,BA:700,BA:1000,BA:500 \
+    --attempts 1 --iters 40 --rounds 1024 --eval-sims 1024 --mcpg-epochs 8
+  ;;
+4)
+  stage iw_g55 9000 python -u scripts/instance_wise.py \
+    --insts G55like --algs bls,mcpg,l2a,isco --budget 600
+  stage iw_isco 7200 python -u scripts/instance_wise.py \
+    --insts G14like,G22like,G70like --algs isco --budget 600
+  stage iw_l2a_g22 5400 python -u scripts/instance_wise.py \
+    --insts G22like --algs l2a --redo l2a --budget 600
+  stage iw_bls_g14 5400 python -u scripts/instance_wise.py \
+    --insts G14like --algs bls --redo bls --budget 900
+  ;;
+5)
+  stage largen_3000_fill 9000 python -u scripts/quality_table.py \
+    --algs greedy,sa,ga,rw,mcpg --dists BA,ER --sizes 3000
+  stage largen_l2a 9000 python -u scripts/quality_table.py \
+    --algs l2a --dists BA,ER --sizes 2000,3000
+  SPECB_ITERS=3000 stage specb_2000 7200 python -u scripts/quality_table.py \
+    --algs specb --dists BA,ER --sizes 2000
+  ;;
+esac
+echo "[$(date -u +%FT%TZ)] PART $part DONE" >> "$STATUS"

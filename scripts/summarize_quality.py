@@ -36,12 +36,15 @@ def main():
                 continue
             dist, n, gid, alg, obj = r[0], int(r[1]), int(r[2]), r[3], float(r[4])
             cell = by_gid[(dist, n)].setdefault(alg, {})
-            if alg in ("specb", "milp_bound") and gid in cell:
+            if alg in ("specb", "milp_bound"):
                 # every recorded bound is certified: keep the tightest
-                cell[gid] = min(cell[gid], obj)
+                cell[gid] = min(cell.get(gid, obj), obj)
             else:
-                # later rows win (re-runs with improved methods overwrite)
-                cell[gid] = obj
+                # best-row-wins for maximization algs (mirrors
+                # instance_wise semantics): a --redo attempt that happens
+                # to score worse can never degrade the published table
+                # (round-4 advisor finding on later-rows-win)
+                cell[gid] = max(cell.get(gid, obj), obj)
     rows = {
         k: {alg: list(d.values()) for alg, d in cell.items()}
         for k, cell in by_gid.items()

