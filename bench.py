@@ -36,7 +36,8 @@ def build_g22_like():
 
 
 def pattern1_peco(
-    n=800, candidates=(512, 1024, 2048, 4096), block_len=32, num_blocks=8
+    n=800, candidates=(512, 1024, 2048, 4096), block_len=32, num_blocks=8,
+    dtype=jnp.float32, skip_cpu_twin=False,
 ):
     """Pattern-I datum at G14-class size (VERDICT r3 item 7): the PECO hot
     loop — batched SpinSystemEnv step + MPNN Q forward + eps-greedy acting
@@ -56,8 +57,26 @@ def pattern1_peco(
     from rlsolver_tpu.models.mpnn import MPNN
 
     graph = graph_from_name(f"BA_{n}_ID0")
-    model = MPNN(features=64, n_layers=3)
+    feat, n_layers = 64, 3
+    model = MPNN(features=feat, n_layers=n_layers, dtype=dtype)
     key = jax.random.PRNGKey(0)
+
+    # analytic MPNN-forward FLOPs per env-step (the flat-autotune
+    # explanation, VERDICT r4 weak #7): the adjacency aggregations are
+    # 2*N^2*(obs + L*f) and dominate; dense layers add 2*N*(...). At the
+    # measured rate this yields achieved FLOP/s to compare against the
+    # chip's f32/bf16 MXU peaks (v5e: ~49e12 f32 / ~197e12 bf16) — if the
+    # f32 number sits near peak, throughput CANNOT grow with env count:
+    # the MXU is saturated at the smallest candidate already.
+    obs_dim = 7
+    mpnn_flops_per_env_step = 2 * n * n * (obs_dim + n_layers * feat) + 2 * n * (
+        obs_dim * feat  # node_init
+        + obs_dim * (feat - 1)  # edge_embed
+        + feat * feat  # edge_feature
+        + n_layers * 2 * (2 * feat) * feat  # message + update per layer
+        + feat * feat  # pool
+        + 2 * feat  # readout_out
+    )
 
     def build(num_envs, with_net=True):
         env = SpinSystemEnv(
@@ -135,6 +154,53 @@ def pattern1_peco(
         else float("nan")
     )
 
+    # bf16-vs-f32 greedy-action agreement (P7 check): identical params
+    # (storage is f32 either way; `dtype` only sets compute precision),
+    # same observation batch, compare per-env argmax actions.
+    agreement = None
+    if dtype != jnp.float32:
+        model_f32 = MPNN(features=feat, n_layers=n_layers)
+        q_lp = model.apply(params, obs, pe.adj)
+        q_f32 = model_f32.apply(params, obs, pe.adj)
+        agreement = float(
+            jnp.mean(
+                (jnp.argmax(q_lp, axis=-1) == jnp.argmax(q_f32, axis=-1)).astype(
+                    jnp.float32
+                )
+            )
+        )
+
+    if skip_cpu_twin:
+        from rlsolver_tpu.algos.dqn import DQNAgent, DQNConfig
+
+        agent = DQNAgent(env, DQNConfig(batch_size=64, dtype=dtype))
+        qp = agent.init_params(key, pe)
+        opt_state = agent.optimizer.init(qp)
+        bsz = 64
+        batch = (
+            obs[:bsz],
+            np.zeros(bsz, np.int32),
+            np.zeros(bsz, np.float32),
+            obs[:bsz],
+            np.zeros(bsz, bool),
+        )
+        qp2, opt2, loss = agent._train_step(qp, qp, opt_state, batch, pe.adj)
+        loss.block_until_ready()
+        t0 = time.time()
+        for _ in range(50):
+            qp2, opt2, loss = agent._train_step(qp2, qp, opt2, batch, pe.adj)
+        float(loss)
+        return {
+            "steps_per_sec": steps_per_sec,
+            "num_envs": best_envs,
+            "sweep": sweep,
+            "mpnn_share": mpnn_share,
+            "flops_per_env_step": mpnn_flops_per_env_step,
+            "achieved_mpnn_flops": steps_per_sec * mpnn_flops_per_env_step,
+            "greedy_action_match_vs_f32": agreement,
+            "train_steps_per_sec": 50 / (time.time() - t0),
+        }
+
     # single-env CPU twin: numpy loop with the exact matmul shapes of one
     # env's MPNN forward (init/edge embeds + 3 message rounds + readout)
     # and the env's rank-1 gain update — the CPU-envs side of the
@@ -193,6 +259,9 @@ def pattern1_peco(
         "num_envs": best_envs,
         "sweep": sweep,
         "mpnn_share": mpnn_share,
+        "flops_per_env_step": mpnn_flops_per_env_step,
+        "achieved_mpnn_flops": steps_per_sec * mpnn_flops_per_env_step,
+        "greedy_action_match_vs_f32": agreement,
         "cpu_steps_per_sec": cpu_steps_per_sec,
         "train_steps_per_sec": train_steps_per_sec,
     }
@@ -272,6 +341,15 @@ def main():
     full_steps_per_sec = full_calls * proposal_rounds * num_envs / full_elapsed
 
     p1 = pattern1_peco()
+    # P7 reduced-precision datum (VERDICT r4 #7): same loop with the bf16
+    # MPNN. Sweep the f32 winner and its neighbors — if f32 was
+    # MXU-saturated, bf16 should both run ~2x faster AND shift the optimal
+    # env count upward.
+    p1_bf16 = pattern1_peco(
+        dtype=jnp.bfloat16,
+        candidates=(p1["num_envs"], 2 * p1["num_envs"], 4 * p1["num_envs"]),
+        skip_cpu_twin=True,
+    )
 
     print(
         json.dumps(
@@ -311,6 +389,31 @@ def main():
                     p1["steps_per_sec"] / (256 * p1["cpu_steps_per_sec"]), 2
                 ),
                 "dqn_train_steps_per_sec": round(p1["train_steps_per_sec"], 1),
+                # f32 MXU-saturation diagnosis for the flat autotune curve
+                # (weak #7): achieved MPNN FLOP/s at the f32 winner vs the
+                # v5e peaks (~49e12 f32 / ~197e12 bf16)
+                "pattern1_mpnn_flops_per_env_step": p1["flops_per_env_step"],
+                "pattern1_achieved_tflops_f32": round(
+                    p1["achieved_mpnn_flops"] / 1e12, 2
+                ),
+                # P7 bf16 Pattern-I data (VERDICT r4 #7)
+                "pattern1_bf16_env_steps_per_sec": round(
+                    p1_bf16["steps_per_sec"], 1
+                ),
+                "pattern1_bf16_num_envs_autotuned": p1_bf16["num_envs"],
+                "pattern1_bf16_autotune_sweep": p1_bf16["sweep"],
+                "pattern1_bf16_speedup_vs_f32": round(
+                    p1_bf16["steps_per_sec"] / p1["steps_per_sec"], 2
+                ),
+                "pattern1_bf16_achieved_tflops": round(
+                    p1_bf16["achieved_mpnn_flops"] / 1e12, 2
+                ),
+                "pattern1_bf16_greedy_action_match_vs_f32": round(
+                    p1_bf16["greedy_action_match_vs_f32"], 4
+                ),
+                "dqn_train_steps_per_sec_bf16": round(
+                    p1_bf16["train_steps_per_sec"], 1
+                ),
             }
         )
     )

@@ -240,10 +240,15 @@ def main():
                 import subprocess
                 import sys
 
+                cmd = [sys.executable, "-u", os.path.abspath(__file__),
+                       "--inline", "--insts", name, "--algs", alg,
+                       "--budget", str(args.budget)]
+                if alg in args.redo.split(","):
+                    # forward the redo flag — the child recomputes `done`
+                    # from the CSV and would otherwise skip the pair
+                    cmd += ["--redo", alg]
                 r = subprocess.run(
-                    [sys.executable, "-u", os.path.abspath(__file__), "--inline",
-                     "--insts", name, "--algs", alg,
-                     "--budget", str(args.budget)],
+                    cmd,
                     cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                 )
                 print(f"   subprocess exit {r.returncode}", flush=True)

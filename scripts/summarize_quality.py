@@ -110,6 +110,37 @@ def main():
     lines.append("`*` = fewer than 10 instances recorded yet (run in progress).")
     lines.append("")
 
+    # Per-column compute disclosure (round-4 VERDICT #1/#2: one line per
+    # column; multi-attempt columns additionally itemized in the
+    # convergence-pass section below). Budgets are the scripts' defaults —
+    # quality_table.py / eco_distribution.py are the source of truth.
+    lines.append("## Per-column compute budgets")
+    lines.append("")
+    lines.extend([
+        "- RandomWalk/Greedy/SDP-GW/SA/GA+tabu: one run per instance at the"
+        " `quality_table.py` classical budgets (SA 256 chains x 12N steps;"
+        " GA 40-64 generations).",
+        "- S2V-DQN: per-cell training, 6144/3072 loop steps x 32 envs,"
+        " greedy eval over 32 random inits.",
+        "- ECO-DQN: ONE network per distribution trained at N=200"
+        " (`eco_distribution.py`: 32768 loop steps x 64 envs = 2.1M"
+        " transitions, 48-graph rotating pool, bf16 MPNN,"
+        " validation-selected checkpoint), inferred across all sizes with"
+        " 50/32 greedy rollouts — the reference train-once/infer-across"
+        " protocol (`ECO_S2V/config.py:33-83`).",
+        "- PI-GNN / Jumanji / ISCO: per-cell runs at the `quality_table.py`"
+        " budgets (jumanji 100/80 PPO iters; isco 256/96 chains x"
+        " max(600, 2N) segmented annealed steps).",
+        "- MCPG: 256 chains x 32 repeats, 6 epochs (plus symmetric"
+        " convergence passes below).",
+        "- L2A: distribution-trained policy (60 iters) + packed-sweep"
+        " guided search, 128/256 rounds x 512 sims x 16 repeats (plus"
+        " symmetric convergence passes below).",
+        "- bound: HiGHS 60s MILP dual min'd with the certified"
+        " Poljak-Rendl spectral bound (4k-12k subgradient iters).",
+    ])
+    lines.append("")
+
     # Protocol disclosure (round-3 advisor finding: retry passes must be
     # symmetric and disclosed). boost_log.csv records every convergence-
     # pass attempt appended on top of the single-run campaign rows.
@@ -175,6 +206,48 @@ def main():
     lines.append("")
     if viol2:
         lines.extend(f"- VIOLATION {v}" for v in viol2)
+    else:
+        lines.append("- holds at every (distribution, N) recorded so far")
+    lines.append("")
+
+    # Learned-method sanity (round-4 VERDICT #1 done criteria): ECO >=
+    # greedy everywhere, ECO >= S2V at N <= 500 (reference ordering,
+    # Benchmark.rst:17-30), and NO learned column below random walk.
+    viol3 = []
+    learned = ("s2v", "eco", "pignn", "jumanji", "isco", "mcpg", "l2a")
+    for (dist, n), cell in sorted(rows.items()):
+        if "eco" in cell and "greedy" in cell and avg(cell["eco"]) < avg(
+            cell["greedy"]
+        ) - 1e-9:
+            viol3.append(
+                f"{dist}_{n}: ECO {avg(cell['eco']):.1f} < greedy "
+                f"{avg(cell['greedy']):.1f}"
+            )
+        if (
+            n <= 500
+            and "eco" in cell
+            and "s2v" in cell
+            and avg(cell["eco"]) < avg(cell["s2v"]) - 1e-9
+        ):
+            viol3.append(
+                f"{dist}_{n}: ECO {avg(cell['eco']):.1f} < S2V "
+                f"{avg(cell['s2v']):.1f}"
+            )
+        for a in learned:
+            if a in cell and "rw" in cell and avg(cell[a]) < avg(
+                cell["rw"]
+            ) - 1e-9:
+                viol3.append(
+                    f"{dist}_{n}: {LABEL[a]} {avg(cell[a]):.1f} < RandomWalk "
+                    f"{avg(cell['rw']):.1f}"
+                )
+    lines.append(
+        "## Learned-method checks (ECO >= greedy; ECO >= S2V at N<=500; "
+        "no learned column < RandomWalk)"
+    )
+    lines.append("")
+    if viol3:
+        lines.extend(f"- VIOLATION {v}" for v in viol3)
     else:
         lines.append("- holds at every (distribution, N) recorded so far")
     lines.append("")
