@@ -150,13 +150,28 @@ def _build_l2a_steps(
 
             env_ = _copy.copy(env)
             env_.cg = env.cg._replace(adj=adj)
-        k_noise, k_sample, k_ls = jax.random.split(key, 3)
+        k_noise, k_sample, k_ls, k_pos, k_draw = jax.random.split(key, 5)
         logits, _ = net.apply(params, solution_to_prob_channels(best_xs), seq_graph)
         probs = jax.nn.softmax(logits, axis=-1)[..., 0]
         probs = jnp.clip(
             probs + jax.random.normal(k_noise, probs.shape) * cfg.prob_noise, 0.0, 1.0
         )
         full_xs = sub_set_sampling(k_sample, probs, best_xs, cfg.num_repeats, cfg.top_k)
+        if cfg.num_repeats > 1:
+            # epsilon-exploration group (same rationale as
+            # l2a_distribution._guided_round): the last repeat group
+            # perturbs k RANDOM positions at p=0.5 so a confident-but-wrong
+            # policy cannot stall the search on its own top-k-uncertain set
+            s, n_bits = best_xs.shape
+            k_e = min(cfg.top_k, n_bits)
+            rand_ids = jax.random.randint(k_pos, (s, k_e), 0, n_bits)
+            rows_e = jnp.arange(s)[:, None]
+            explore = best_xs.at[rows_e, rand_ids].set(
+                jax.random.bernoulli(k_draw, 0.5, (s, k_e))
+            )
+            full_xs = jax.lax.dynamic_update_slice_in_dim(
+                full_xs, explore, (cfg.num_repeats - 1) * s, axis=0
+            )
         if cfg.fused_ls and tables is not None:
             # MCPG-class search budget: `fused_sweeps` noisy degree-ordered
             # packed sweeps over all candidates (ops/pallas/engine.py)

@@ -259,10 +259,27 @@ def _guided_round(
     `(weighted, node_chunk)` pair from a `FusedSweepEngine` selecting the
     packed TPU kernel; the tables pytree rides separately as a traced
     argument."""
-    k_sample, k_seed = jax.random.split(key)
+    k_sample, k_seed, k_pos, k_draw = jax.random.split(key, 4)
     logits, _ = net.apply(params, solution_to_prob_channels(xs), seq_graph)
     probs = jax.nn.softmax(logits, axis=-1)[..., 0]
     cand = sub_set_sampling(k_sample, probs, xs, num_repeats, top_k)
+    if num_repeats > 1:
+        # epsilon-exploration group: resampling only the policy's top-k
+        # UNCERTAIN bits stalls once the policy is confident-but-wrong
+        # (round-4 plateau: extra attempts improved 0/10 instances at
+        # BA_500). The last repeat group instead perturbs k RANDOM
+        # positions of its incumbents at p=0.5 — the basin escape MCPG
+        # gets from its temperature-driven MH sampler (`MCPG.py:88-118`).
+        s, n = xs.shape
+        k_explore = min(top_k, n)
+        rand_ids = jax.random.randint(k_pos, (s, k_explore), 0, n)
+        rows_e = jnp.arange(s)[:, None]
+        explore = xs.at[rows_e, rand_ids].set(
+            jax.random.bernoulli(k_draw, 0.5, (s, k_explore))
+        )
+        cand = jax.lax.dynamic_update_slice_in_dim(
+            cand, explore, (num_repeats - 1) * s, axis=0
+        )
     if kernel is not None:
         from rlsolver_tpu.ops.pallas.mcpg_sweep import mcpg_sweep_fused
         from rlsolver_tpu.ops.pallas.weighted_sweep import (

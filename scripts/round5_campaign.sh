@@ -67,9 +67,10 @@ case "$part" in
   ;;
 3)
   # symmetric deep-budget closing pass on the violating flagship cells
-  stage standing_deep 14400 python -u scripts/standing_pass.py \
+  stage standing_deep 10800 python -u scripts/standing_pass.py \
     --cells BA:900,BA:800,BA:600,BA:700,BA:1000,BA:500 \
-    --attempts 1 --iters 40 --rounds 1024 --eval-sims 1024 --mcpg-epochs 8
+    --attempts 1 --iters 40 --rounds 768 --eval-sims 1024 --mcpg-epochs 6 \
+    --seed-base 21
   ;;
 4)
   stage iw_g55 9000 python -u scripts/instance_wise.py \
