@@ -24,6 +24,15 @@ stage() {
   local name=$1 tmo=$2; shift 2
   local log="results_quality/r5_${name}.log"
   local attempt rc t0 t1 verdict
+  # single-TPU-client guard: a second client can OOM or CRASH the shared
+  # remote worker (round-4 lost 36 cells; round-5 nearly repeated it with a
+  # stray round-4 runner). Detect-only — never kill by pattern.
+  while pgrep -f "quality_table.py|instance_wise.py|eco_distribution.py|standing_pass.py|probe_isco" | grep -qv "^$$\$"; do
+    local others
+    others=$(pgrep -f "quality_table.py|instance_wise.py|eco_distribution.py|standing_pass.py|probe_isco" | tr '\n' ' ')
+    echo "[$(date -u +%FT%TZ)] WAIT $name: other TPU client(s) running (pids $others)" >> "$STATUS"
+    sleep 60
+  done
   for attempt in 1 2; do
     t0=$(date +%s)
     echo "[$(date -u +%FT%TZ)] START $name attempt $attempt (timeout ${tmo}s)" >> "$STATUS"
@@ -73,8 +82,10 @@ case "$part" in
     --seed-base 21
   ;;
 4)
+  # --redo bls: a stray round-4 stage left a 150s-budget BLS row; rerun at
+  # the full 600s so the own-baseline is representative (max-win append)
   stage iw_g55 9000 python -u scripts/instance_wise.py \
-    --insts G55like --algs bls,mcpg,l2a,isco --budget 600
+    --insts G55like --algs bls,mcpg,l2a,isco --redo bls --budget 600
   stage iw_isco 7200 python -u scripts/instance_wise.py \
     --insts G14like,G22like,G70like --algs isco --budget 600
   stage iw_l2a_g22 5400 python -u scripts/instance_wise.py \
