@@ -154,15 +154,36 @@ def solve_maxcut_mcpg_batched(
         )
         return jnp.sum(jnp.mean(logp * value, axis=1))
 
-    def round_step(key, logits, opt_state, best_xs, best_vs, start_bits):
+    # the big per-instance arrays ride as jit ARGUMENTS, not closures:
+    # closure-captured device arrays lower to IR literals inside the
+    # compile request, and a dense stacked adjacency (ER_3000: 10 x 3000^2
+    # bf16 = 180 MB, incompressible) blows the remote compiler's request
+    # size limit (HTTP 413 — hit by the round-4 largen stage). Same
+    # convention as `algos/l2a.py:rollout_step`.
+    def _rebuild(adj, total_w, order, nbrs, nbr_w, wdeg):
+        sweep = SweepData(
+            order=order, nbrs=nbrs, nbr_w=nbr_w, wdeg=wdeg,
+            color_masks=jnp.zeros((num_graphs, 1, n), bool), num_nodes=n,
+        )
+        return StackedGraphs(
+            adj=adj, total_w=total_w, sweep=sweep,
+            num_graphs=num_graphs, num_nodes=n,
+        )
+
+    _sg_args = (sg.adj, sg.total_w, sg.sweep.order, sg.sweep.nbrs,
+                sg.sweep.nbr_w, sg.sweep.wdeg)
+
+    def round_step(key, logits, opt_state, best_xs, best_vs, start_bits,
+                   adj, total_w, order, nbrs, nbr_w, wdeg):
+        sg_ = _rebuild(adj, total_w, order, nbrs, nbr_w, wdeg)
         k_mh, k_ls = jax.random.split(key)
         probs = probs_of(logits)
         mh = _mh_stacked(k_mh, probs, start_bits, change_times)
         xt = jax.vmap(mcpg_init_values)(mh)
         keys_ls = jax.random.split(k_ls, num_graphs)
-        xt = sweep_v(keys_ls, xt, sg.sweep, cfg.num_ls)
+        xt = sweep_v(keys_ls, xt, sg_.sweep, cfg.num_ls)
         ls_bits = xt[:, :, :n] > 0.5
-        cuts = cut_values_stacked(ls_bits, sg)  # [G, R*C]
+        cuts = cut_values_stacked(ls_bits, sg_)  # [G, R*C]
 
         chain_xs, chain_vs = jax.vmap(pick_xs_by_vs, in_axes=(0, 0, None))(
             ls_bits, cuts, R
@@ -175,7 +196,7 @@ def solve_maxcut_mcpg_batched(
         best_vs = best_vs.at[gi, worst].set(best_vs[gi, top])
         restart = jnp.tile(chain_xs, (1, R, 1))
 
-        energy = sg.total_w[:, None] - 2.0 * cuts
+        energy = sg_.total_w[:, None] - 2.0 * cuts
         value = energy - jnp.mean(energy, axis=1, keepdims=True)
 
         def sgd(carry, _):
@@ -197,8 +218,17 @@ def solve_maxcut_mcpg_batched(
     # warm start: local-search the initial chains (MCPG.py:342-348 analogue)
     xt0 = jax.vmap(mcpg_init_values)(start_xs)
     key, k_ws = jax.random.split(key)
-    warm = jax.jit(lambda ks, xt: sweep_v(ks, xt, sg.sweep, cfg.warmup_ls_rounds))
-    xt0 = warm(jax.random.split(k_ws, num_graphs), xt0)
+    warm = jax.jit(
+        lambda ks, xt, order, nbrs, nbr_w, wdeg: sweep_v(
+            ks, xt,
+            SweepData(order=order, nbrs=nbrs, nbr_w=nbr_w, wdeg=wdeg,
+                      color_masks=jnp.zeros((num_graphs, 1, n), bool),
+                      num_nodes=n),
+            cfg.warmup_ls_rounds,
+        )
+    )
+    xt0 = warm(jax.random.split(k_ws, num_graphs), xt0, sg.sweep.order,
+               sg.sweep.nbrs, sg.sweep.nbr_w, sg.sweep.wdeg)
     best_xs = xt0[:, :, :n] > 0.5
     best_vs = cut_values_stacked(best_xs, sg)
     start_bits = jnp.tile(best_xs, (1, R, 1))
@@ -212,12 +242,7 @@ def solve_maxcut_mcpg_batched(
         for j in range(rounds_per_epoch):
             key, k = jax.random.split(key)
             logits, opt_state, best_xs, best_vs, start_bits = round_j(
-                key=k,
-                logits=logits,
-                opt_state=opt_state,
-                best_xs=best_xs,
-                best_vs=best_vs,
-                start_bits=start_bits,
+                k, logits, opt_state, best_xs, best_vs, start_bits, *_sg_args
             )
         per_graph_best = np.asarray(jnp.max(best_vs, axis=1))
         history.append(
