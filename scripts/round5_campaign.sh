@@ -98,8 +98,9 @@ case "$part" in
     --algs greedy,sa,ga,rw,mcpg --dists BA,ER --sizes 3000
   stage largen_l2a 9000 python -u scripts/quality_table.py \
     --algs l2a --dists BA,ER --sizes 2000,3000
-  SPECB_ITERS=3000 stage specb_2000 7200 python -u scripts/quality_table.py \
-    --algs specb --dists BA,ER --sizes 2000
+  SPECB_CERT=10 SPECB_ITERS=3000 \
+    stage specb_largen 7200 python -u scripts/quality_table.py \
+    --algs specb --dists BA,ER --sizes 2000,3000
   ;;
 esac
 echo "[$(date -u +%FT%TZ)] PART $part DONE" >> "$STATUS"
