@@ -81,26 +81,27 @@ case "$part" in
     --attempts 1 --iters 40 --rounds 768 --eval-sims 1024 --mcpg-epochs 6 \
     --seed-base 21
   ;;
-4)
+45)
+  # parts 4+5 merged, ordered by VERDICT missing-list rank so a wall-clock
+  # cutoff costs the least-valuable tail (every stage resumes from
+  # append-only CSVs):
   # --redo bls: a stray round-4 stage left a 150s-budget BLS row; rerun at
   # the full 600s so the own-baseline is representative (max-win append)
   stage iw_g55 9000 python -u scripts/instance_wise.py \
     --insts G55like --algs bls,mcpg,l2a,isco --redo bls --budget 600
-  stage iw_isco 7200 python -u scripts/instance_wise.py \
-    --insts G14like,G22like,G70like --algs isco --budget 600
-  stage iw_l2a_g22 5400 python -u scripts/instance_wise.py \
-    --insts G22like --algs l2a --redo l2a --budget 600
-  stage iw_bls_g14 5400 python -u scripts/instance_wise.py \
-    --insts G14like --algs bls --redo bls --budget 900
-  ;;
-5)
   stage largen_3000_fill 9000 python -u scripts/quality_table.py \
     --algs greedy,sa,ga,rw,mcpg --dists BA,ER --sizes 3000
+  stage iw_isco 7200 python -u scripts/instance_wise.py \
+    --insts G14like,G22like,G70like --algs isco --budget 600
   stage largen_l2a 9000 python -u scripts/quality_table.py \
     --algs l2a --dists BA,ER --sizes 2000,3000
   SPECB_CERT=10 SPECB_ITERS=3000 \
     stage specb_largen 7200 python -u scripts/quality_table.py \
     --algs specb --dists BA,ER --sizes 2000,3000
+  stage iw_l2a_g22 5400 python -u scripts/instance_wise.py \
+    --insts G22like --algs l2a --redo l2a --budget 600
+  stage iw_bls_g14 5400 python -u scripts/instance_wise.py \
+    --insts G14like --algs bls --redo bls --budget 900
   ;;
 esac
 echo "[$(date -u +%FT%TZ)] PART $part DONE" >> "$STATUS"
