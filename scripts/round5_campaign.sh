@@ -76,10 +76,14 @@ case "$part" in
   ;;
 3)
   # symmetric deep-budget closing pass on the violating flagship cells
-  stage standing_deep 10800 python -u scripts/standing_pass.py \
+  # campaign-parity budgets (rounds=768/sims=1024 projected ~1.5h/cell and
+  # was killed mid-BA_900): the quality lever is the round-5 exploration
+  # group in the L2A evaluator, not raw round count. Both methods get the
+  # same fresh-seed attempt; budgets land in boost_log.csv.
+  stage standing_light 10800 python -u scripts/standing_pass.py \
     --cells BA:900,BA:800,BA:600,BA:700,BA:1000,BA:500 \
-    --attempts 1 --iters 40 --rounds 768 --eval-sims 1024 --mcpg-epochs 6 \
-    --seed-base 21
+    --attempts 1 --iters 40 --rounds 384 --eval-sims 512 \
+    --mcpg-epochs 6 --mcpg-chains 256 --mcpg-repeats 32 --seed-base 21
   ;;
 45)
   # parts 4+5 merged, ordered by VERDICT missing-list rank so a wall-clock

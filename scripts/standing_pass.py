@@ -102,8 +102,8 @@ def run_mcpg(dist, n, ids, seed, args):
 
     graphs = [graph_from_name(f"{dist}_{n}_ID{i}") for i in range(ids)]
     cfg = MCPGConfig(
-        total_mcmc_num=512,
-        repeat_times=64,
+        total_mcmc_num=args.mcpg_chains,
+        repeat_times=args.mcpg_repeats,
         num_ls=8,
         max_epoch_num=args.mcpg_epochs,
         reset_epoch_num=64,
@@ -126,6 +126,8 @@ def main():
     p.add_argument("--eval-sims", type=int, default=1024)
     p.add_argument("--iters", type=int, default=80)
     p.add_argument("--mcpg-epochs", type=int, default=10)
+    p.add_argument("--mcpg-chains", type=int, default=512)
+    p.add_argument("--mcpg-repeats", type=int, default=64)
     args = p.parse_args()
     if args.cpu:
         import jax
