@@ -107,5 +107,22 @@ case "$part" in
   stage iw_bls_g14 5400 python -u scripts/instance_wise.py \
     --insts G14like --algs bls --redo bls --budget 900
   ;;
+46)
+  # remainder after the part-45 detach (iw_g55 ran standalone), reordered
+  # so done-criterion fixes and missing-list items outrank redos:
+  stage iw_l2a_g22 5400 python -u scripts/instance_wise.py \
+    --insts G22like --algs l2a --redo l2a --budget 600
+  stage largen_3000_fill 9000 python -u scripts/quality_table.py \
+    --algs greedy,sa,ga,rw,mcpg --dists BA,ER --sizes 3000
+  stage iw_isco 7200 python -u scripts/instance_wise.py \
+    --insts G14like,G22like,G70like --algs isco --budget 600
+  stage largen_l2a 9000 python -u scripts/quality_table.py \
+    --algs l2a --dists BA,ER --sizes 2000,3000
+  stage iw_bls_g14 5400 python -u scripts/instance_wise.py \
+    --insts G14like --algs bls --redo bls --budget 900
+  SPECB_CERT=10 SPECB_ITERS=3000 \
+    stage specb_largen 7200 python -u scripts/quality_table.py \
+    --algs specb --dists BA,ER --sizes 2000,3000
+  ;;
 esac
 echo "[$(date -u +%FT%TZ)] PART $part DONE" >> "$STATUS"
