@@ -124,5 +124,17 @@ case "$part" in
     stage specb_largen 7200 python -u scripts/quality_table.py \
     --algs specb --dists BA,ER --sizes 2000,3000
   ;;
+47)
+  # optional end-of-round ECO upgrade: 8x the training budget (16.8M
+  # transitions, still ~5 min/distribution on-device). Archives the 32k
+  # checkpoints and re-evals every cell; max-win keeps the better rows.
+  for d in BA PL ER; do
+    [ -f "results_quality/eco_params_${d}.pkl" ] && \
+      mv "results_quality/eco_params_${d}.pkl" \
+         "results_quality/eco_params_${d}_32k.pkl"
+  done
+  rm -f results_quality/eco_dist_done.txt
+  ECO_LOOP_STEPS=262144 stage eco_dist8x 7200 python -u scripts/eco_distribution.py
+  ;;
 esac
 echo "[$(date -u +%FT%TZ)] PART $part DONE" >> "$STATUS"
