@@ -136,7 +136,9 @@ def run_l2a(name, g, budget):
     elif n <= 3000:
         sims, reps, heads, embed = 128, 16, 4, 64
     else:
-        sims, reps, heads, embed = 32, 16, 4, 32
+        # round-5: 32 sims left L2A under own-BLS at G55like (10169 vs
+        # 10205); the packed-bit chains and chunked attention afford 64
+        sims, reps, heads, embed = 64, 16, 4, 32
     cfg = L2AConfig(
         num_sims=sims,
         num_repeats=reps,

@@ -112,6 +112,9 @@ case "$part" in
   # so done-criterion fixes and missing-list items outrank redos:
   stage iw_l2a_g22 5400 python -u scripts/instance_wise.py \
     --insts G22like --algs l2a --redo l2a --budget 600
+  # 64-sim config (32 sims left L2A under own-BLS, 10169 vs 10205)
+  stage iw_l2a_g55 5400 python -u scripts/instance_wise.py \
+    --insts G55like --algs l2a --redo l2a --budget 900
   stage largen_3000_fill 9000 python -u scripts/quality_table.py \
     --algs greedy,sa,ga,rw,mcpg --dists BA,ER --sizes 3000
   stage iw_isco 7200 python -u scripts/instance_wise.py \
