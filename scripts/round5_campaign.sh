@@ -139,5 +139,34 @@ case "$part" in
   rm -f results_quality/eco_dist_done.txt
   ECO_LOOP_STEPS=262144 stage eco_dist8x 7200 python -u scripts/eco_distribution.py
   ;;
+51)
+  # Session-restart recovery queue (machine restart killed standing_light
+  # at launch). VERDICT-rank order; a wall-clock cutoff costs the least-
+  # valuable tail (all stages resume from append-only CSVs):
+  #   1. flagship closing pass, worst-margin cells first (#2)
+  #   2. instance-wise holes: L2A at G49/G50like, ISCO at G14/G22/G70like (#4)
+  #   3. L2A >= own-BLS redos at G22/G55like (#4 done-criterion)
+  #   4. large-N fills: ER_3000 classical completion + MCPG_3000, L2A/bound
+  #      at 2000/3000 (#5)
+  stage standing_light 8400 python -u scripts/standing_pass.py \
+    --cells BA:900,BA:800,BA:600,BA:700,BA:1000,BA:500 \
+    --attempts 1 --iters 40 --rounds 384 --eval-sims 512 \
+    --mcpg-epochs 6 --mcpg-chains 256 --mcpg-repeats 32 --seed-base 21
+  stage iw_l2a_fill 2700 python -u scripts/instance_wise.py \
+    --insts G49like,G50like --algs l2a --budget 600
+  stage iw_isco3 4200 python -u scripts/instance_wise.py \
+    --insts G14like,G22like,G70like --algs isco --budget 600
+  stage iw_l2a_redo 4200 python -u scripts/instance_wise.py \
+    --insts G22like,G55like --algs l2a --redo l2a --budget 900
+  stage largen_er3000 7200 python -u scripts/quality_table.py \
+    --algs greedy,sa,mcpg --dists ER --sizes 3000
+  stage largen_mcpg_ba3000 5400 python -u scripts/quality_table.py \
+    --algs mcpg --dists BA --sizes 3000
+  stage largen_l2a2000 7200 python -u scripts/quality_table.py \
+    --algs l2a --dists BA,ER --sizes 2000
+  SPECB_CERT=10 SPECB_ITERS=3000 \
+    stage specb_largen 7200 python -u scripts/quality_table.py \
+    --algs specb --dists BA,ER --sizes 2000,3000
+  ;;
 esac
 echo "[$(date -u +%FT%TZ)] PART $part DONE" >> "$STATUS"
