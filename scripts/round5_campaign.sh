@@ -168,5 +168,21 @@ case "$part" in
     stage specb_largen 7200 python -u scripts/quality_table.py \
     --algs specb --dists BA,ER --sizes 2000,3000
   ;;
+52)
+  # End-of-round closing queue: second symmetric attempt on the cells the
+  # part-51 pass left violated (cells via STANDING2_CELLS), then trimmed-
+  # budget instance-wise fills so the 6x4 table has no holes. Budgets are
+  # sized to the remaining wall clock; every stage resumes/append-only.
+  stage standing2 4800 python -u scripts/standing_pass.py \
+    --cells "${STANDING2_CELLS:?set STANDING2_CELLS}" \
+    --attempts 1 --iters 40 --rounds 384 --eval-sims 512 \
+    --mcpg-epochs 6 --mcpg-chains 256 --mcpg-repeats 32 --seed-base 31
+  stage iw_l2a_fill 1800 python -u scripts/instance_wise.py \
+    --insts G49like,G50like --algs l2a --budget 300
+  stage iw_isco3 2400 python -u scripts/instance_wise.py \
+    --insts G14like,G22like,G70like --algs isco --budget 300
+  stage iw_l2a_redo 2400 python -u scripts/instance_wise.py \
+    --insts G22like,G55like --algs l2a --redo l2a --budget 600
+  ;;
 esac
 echo "[$(date -u +%FT%TZ)] PART $part DONE" >> "$STATUS"
