@@ -168,6 +168,23 @@ case "$part" in
     stage specb_largen 7200 python -u scripts/quality_table.py \
     --algs specb --dists BA,ER --sizes 2000,3000
   ;;
+53)
+  # Final ordering after the part-51 standing pass (BA_1000 flipped to
+  # L2A, BA_700 tied; 500/600/800/900 still violated by 0.1-0.6):
+  # guaranteed inventory holes first (6x4 instance-wise table), then the
+  # flagship gamble on the two cells where L2A improved 7/10 instances
+  # last attempt, then the L2A>=own-BLS redos. Wall-clock cuts the tail.
+  stage iw_l2a_fill 1800 python -u scripts/instance_wise.py \
+    --insts G49like,G50like --algs l2a --budget 300
+  stage iw_isco3 2700 python -u scripts/instance_wise.py \
+    --insts G14like,G22like,G70like --algs isco --budget 300
+  stage standing3 2400 python -u scripts/standing_pass.py \
+    --cells BA:900,BA:800 \
+    --attempts 1 --iters 40 --rounds 384 --eval-sims 512 \
+    --mcpg-epochs 6 --mcpg-chains 256 --mcpg-repeats 32 --seed-base 31
+  stage iw_l2a_redo 2400 python -u scripts/instance_wise.py \
+    --insts G22like,G55like --algs l2a --redo l2a --budget 600
+  ;;
 52)
   # End-of-round closing queue: second symmetric attempt on the cells the
   # part-51 pass left violated (cells via STANDING2_CELLS), then trimmed-
