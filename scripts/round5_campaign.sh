@@ -168,6 +168,26 @@ case "$part" in
     stage specb_largen 7200 python -u scripts/quality_table.py \
     --algs specb --dists BA,ER --sizes 2000,3000
   ;;
+54)
+  # Bonus-time queue (session outlived the 3h soft wall): third symmetric
+  # attempt on the three residual flagship cells, then the VERDICT #5
+  # large-N holes in value order. Commit-after-each-stage discipline.
+  stage standing4 4200 python -u scripts/standing_pass.py \
+    --cells BA:800,BA:600,BA:500 \
+    --attempts 1 --iters 40 --rounds 384 --eval-sims 512 \
+    --mcpg-epochs 6 --mcpg-chains 256 --mcpg-repeats 32 --seed-base 41
+  stage largen_l2a2000 5400 python -u scripts/quality_table.py \
+    --algs l2a --dists BA,ER --sizes 2000
+  stage largen_3000b 7200 python -u scripts/quality_table.py \
+    --algs greedy,sa,mcpg --dists ER --sizes 3000
+  stage largen_mcpg_ba3000 5400 python -u scripts/quality_table.py \
+    --algs mcpg --dists BA --sizes 3000
+  SPECB_CERT=10 SPECB_ITERS=3000 \
+    stage specb_largen 9000 python -u scripts/quality_table.py \
+    --algs specb --dists BA,ER --sizes 2000,3000
+  stage largen_l2a3000 7200 python -u scripts/quality_table.py \
+    --algs l2a --dists BA,ER --sizes 3000
+  ;;
 53)
   # Final ordering after the part-51 standing pass (BA_1000 flipped to
   # L2A, BA_700 tied; 500/600/800/900 still violated by 0.1-0.6):
