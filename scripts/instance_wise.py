@@ -151,7 +151,8 @@ def run_l2a(name, g, budget):
         packed_sweep=True,
         fused_ls=True,
         fused_sweeps=8,
-        seed=0,
+        # IW_SEED: --redo retries are otherwise deterministic replays
+        seed=int(os.environ.get("IW_SEED", "0")),
     )
     _, best, ev = solve_maxcut_l2a(g, cfg, time_budget=budget, verbose=True)
     for step, v, t in ev.records:
